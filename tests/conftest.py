@@ -1,0 +1,65 @@
+"""Test configuration: force CPU with 8 virtual devices for sharding tests.
+
+Standard JAX fake-multi-device pattern (SURVEY §4): multi-chip code paths are
+validated on a virtual CPU mesh; the real TPU is only used by bench.py.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon environment pre-registers the TPU platform regardless of the env
+# var; jax.config wins over it.
+jax.config.update("jax_platforms", "cpu")
+
+# Host-side eval math (triangulation, camera algebra) runs in float64 in the
+# reference; enable x64 so float64 test inputs stay float64.  Model params
+# remain float32 (flax default) regardless.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def make_camera_ring(n_views=4, radius=4000.0, target=(0.0, 0.0, 1000.0), focal=1000.0,
+                     image_size=(256, 256)):
+    """Build a synthetic ring of cameras looking at `target` (world mm units).
+
+    Returns dict with K, R, T (camera center), RT=[R|-R T], KRT stacks.
+    """
+    H, W = image_size
+    Ks, Rs, Ts = [], [], []
+    target = np.asarray(target, dtype=np.float64)
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views + 0.3
+        center = np.array([radius * np.cos(ang), radius * np.sin(ang), 1200.0 + 100.0 * i])
+        z = target - center
+        z = z / np.linalg.norm(z)
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(z, up)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])  # world -> camera rows
+        K = np.array([[focal, 0.0, W / 2.0], [0.0, focal, H / 2.0], [0.0, 0.0, 1.0]])
+        Ks.append(K)
+        Rs.append(R)
+        Ts.append(center)
+    Ks, Rs, Ts = map(np.array, (Ks, Rs, Ts))
+    RTs = np.concatenate([Rs, -Rs @ Ts[..., None]], axis=-1)
+    KRTs = Ks @ RTs
+    return {"K": Ks, "R": Rs, "T": Ts, "RT": RTs, "KRT": KRTs, "image_size": image_size}
+
+
+@pytest.fixture
+def camera_ring():
+    return make_camera_ring()
