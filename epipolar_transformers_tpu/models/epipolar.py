@@ -1,0 +1,169 @@
+"""Epipolar transformer layer (Flax).
+
+The paper's core module (reference modeling/layers/epipolar.py:11-269):
+for every reference-view pixel, attend over `SAMPLESIZE` points along its
+epipolar line in a neighboring view, fuse the similarity-weighted source
+features, then optionally project through a 1x1 conv `z` + zero-init BN and
+add residually.  Geometry lives in ops/epipolar_sampling.py; the attention
+core in ops/epipolar_attention.py (and its fused Pallas kernel twin).
+
+Differences from the reference by design (TPU-native):
+  * NHWC layout, no Python batch loop;
+  * config passed explicitly (frozen dataclass) instead of the yacs global;
+  * detach() -> jax.lax.stop_gradient, controlled by EPIPOLAR.OTHER_GRAD;
+  * the per-camera-pair prior is one dense (n_cams, n_cams, K, H, W) param
+    table indexed by camera ids instead of a python dict of nn.Parameters
+    (epipolar.py:73-80).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..ops.epipolar_attention import AttentionParams, epipolar_attention
+from ..ops.epipolar_sampling import EpipolarGeometry, epipolar_sample_locs
+from .layers import ZeroInitBatchNorm
+
+
+class Epipolar(nn.Module):
+    cfg: Config
+
+    @property
+    def geometry(self) -> EpipolarGeometry:
+        c = self.cfg
+        h, w = c.KEYPOINT.HEATMAP_SIZE
+        return EpipolarGeometry(
+            feat_h=h,
+            feat_w=w,
+            sample_size=c.EPIPOLAR.SAMPLESIZE,
+            downsample=c.BACKBONE.DOWNSAMPLE,
+            resize=c.DATASETS.IMAGE_RESIZE * c.DATASETS.PREDICT_RESIZE,
+            correct_normalize=c.EPIPOLAR.USE_CORRECT_NORMALIZE,
+        )
+
+    @property
+    def attention_params(self) -> AttentionParams:
+        e = self.cfg.EPIPOLAR
+        return AttentionParams(
+            attention=e.ATTENTION,
+            similarity=e.SIMILARITY,
+            softmax_enabled=e.SOFTMAX_ENABLED,
+            softmax_scale=e.SOFTMAXSCALE,
+            pooling=e.POOLING,
+            priormul=e.PRIORMUL,
+            correct_normalize=e.USE_CORRECT_NORMALIZE,
+        )
+
+    def setup(self):
+        c = self.cfg
+        e = c.EPIPOLAR
+        nfeats = c.KEYPOINT.NFEATS
+        bottleneck = nfeats // e.BOTTLENECK
+        if e.BOTTLENECK != 1:
+            # reference epipolar.py:56-61
+            assert all(k in e.PARAMETERIZED for k in ("z", "theta", "phi", "g"))
+            assert not e.ZRESIDUAL
+        if "z" in e.PARAMETERIZED:
+            self.z = nn.Conv(nfeats, (1, 1), use_bias=True, name="z")
+            self.bn = ZeroInitBatchNorm(
+                momentum=1.0 - c.BACKBONE.BN_MOMENTUM,
+                axis_name=c.MESH_AXIS if c.BACKBONE.SYNC_BN else None,
+                name="bn",
+            )
+        if "theta" in e.PARAMETERIZED:
+            self.theta = nn.Conv(bottleneck, (1, 1), use_bias=True, name="theta")
+        if "phi" in e.PARAMETERIZED:
+            self.phi = nn.Conv(bottleneck, (1, 1), use_bias=True, name="phi")
+        if "g" in e.PARAMETERIZED:
+            self.g = nn.Conv(bottleneck, (1, 1), use_bias=True, name="g")
+        if e.PRIOR:
+            n_cams = max(len(c.DATASETS.CAMERAS), 1)
+            h, w = c.KEYPOINT.HEATMAP_SIZE
+            k = e.SAMPLESIZE // (2 if e.POOLING else 1)
+            self.prior_table = self.param(
+                "prior",
+                lambda key, shape: jax.random.uniform(key, shape, maxval=0.1),
+                (n_cams, n_cams, k, h, w),
+            )
+
+    def __call__(
+        self,
+        feat1: Optional[jnp.ndarray],
+        feat2: jnp.ndarray,
+        P1: jnp.ndarray,
+        P2: jnp.ndarray,
+        camera: Optional[jnp.ndarray] = None,
+        other_camera: Optional[jnp.ndarray] = None,
+        ref1: Optional[jnp.ndarray] = None,
+        ref2: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ):
+        """
+        Args:
+            feat1: (N, H, W, C) reference-view features.
+            feat2: (N, H, W, C) source-view features.
+            P1, P2: (N, 3, 4) full-res projection matrices (KRT).
+            camera/other_camera: (N,) int ids (for the learned prior).
+            ref1/ref2: (N, H, W, 3) downsampled RGB (FIND_CORR='rgb').
+        Returns:
+            (fused (N,H,W,C), corr_pos (N,H,W,2), depth (N,K',H,W), sample_locs)
+        """
+        c = self.cfg
+        e = c.EPIPOLAR
+        assert e.ATTENTION in {"avg", "max"}
+        assert e.SIMILARITY in {"cos", "dot", "prior"}
+
+        # -- key/value feature selection + detach semantics (epipolar.py:134-157)
+        if e.FIND_CORR == "rgb":
+            assert ref1 is not None and ref2 is not None
+            assert "other1" not in e.OTHER_GRAD and "phi" not in e.PARAMETERIZED
+            other1 = jax.lax.stop_gradient(ref2)
+            query = ref1
+        else:
+            other1 = feat2 if "other1" in e.OTHER_GRAD else jax.lax.stop_gradient(feat2)
+            if "phi" in e.PARAMETERIZED:
+                other1 = self.phi(other1)
+            if "theta" in e.PARAMETERIZED:
+                feat1 = self.theta(feat1)
+            query = feat1
+
+        other2 = feat2 if "other2" in e.OTHER_GRAD else jax.lax.stop_gradient(feat2)
+        if "g" in e.PARAMETERIZED:
+            other2 = self.g(other2)
+
+        # -- geometry (no_grad in the reference, epipolar.py:178-183)
+        geom = self.geometry
+        grid = jnp.asarray(geom.grid())
+        sample_locs = jax.lax.stop_gradient(
+            jax.vmap(lambda a, b: epipolar_sample_locs(a, b, geom, grid))(
+                P1.astype(jnp.float32), P2.astype(jnp.float32)
+            )
+        ).astype(feat2.dtype)
+
+        params = self.attention_params
+
+        if e.PRIOR or e.SIMILARITY == "prior":
+            prior = self.prior_table[camera, other_camera]  # (N, K', H, W)
+            out, corr_pos, depth = jax.vmap(
+                lambda q, o1, o2, s, p: epipolar_attention(q, o1, o2, s, params, p)
+            )(query, other1, other2, sample_locs, prior)
+        else:
+            out, corr_pos, depth = jax.vmap(
+                lambda q, o1, o2, s: epipolar_attention(q, o1, o2, s, params)
+            )(query, other1, other2, sample_locs)
+
+        # -- z projection + zero-init BN (+ optional residual) epipolar.py:249-255
+        if "z" in e.PARAMETERIZED:
+            finalout = self.z(out)
+            finalout = self.bn(finalout, use_running_average=not train)
+            if e.ZRESIDUAL:
+                finalout = finalout + out
+        else:
+            finalout = out
+
+        return finalout, corr_pos, depth, sample_locs

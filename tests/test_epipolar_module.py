@@ -1,0 +1,128 @@
+"""Flax Epipolar module: init, shapes, zero-init-BN identity, config switches."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from epipolar_transformers_tpu.config import Config, update_from_dict
+from epipolar_transformers_tpu.models.epipolar import Epipolar
+
+
+def _cfg(**epipolar_overrides):
+    base = {
+        "KEYPOINT": {"NFEATS": 8, "HEATMAP_SIZE": (16, 16), "NUM_PTS": 17},
+        "BACKBONE": {"DOWNSAMPLE": 4},
+        "DATASETS": {"IMAGE_RESIZE": 1.0, "PREDICT_RESIZE": 1.0},
+        "EPIPOLAR": {
+            "SAMPLESIZE": 8,
+            "ATTENTION": "avg",
+            "SIMILARITY": "dot",
+            "MERGE": "late",
+            "PARAMETERIZED": ("z",),
+            "ZRESIDUAL": True,
+            "USE_CORRECT_NORMALIZE": True,
+            **epipolar_overrides,
+        },
+    }
+    return update_from_dict(Config(), base)
+
+
+def _inputs(camera_ring, N=2, C=8, H=16, W=16, seed=0):
+    rng = np.random.RandomState(seed)
+    feat1 = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    feat2 = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    P1 = jnp.asarray(np.stack([camera_ring["KRT"][0]] * N).astype(np.float32))
+    P2 = jnp.asarray(np.stack([camera_ring["KRT"][1]] * N).astype(np.float32))
+    return feat1, feat2, P1, P2
+
+
+def test_zresidual_init_returns_attention_output(camera_ring):
+    """At init, z-conv + zero-init BN output 0, so finalout == raw attention
+    output under ZRESIDUAL (and exactly 0 without it)."""
+    cfg = _cfg()
+    model = Epipolar(cfg)
+    feat1, feat2, P1, P2 = _inputs(camera_ring)
+    variables = model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2, train=False)
+    out, corr, depth, locs = model.apply(variables, feat1, feat2, P1, P2, train=False)
+    assert out.shape == feat1.shape
+    assert corr.shape == (2, 16, 16, 2)
+    assert depth.shape == (2, 8, 16, 16)
+
+    cfg2 = _cfg(ZRESIDUAL=False)
+    model2 = Epipolar(cfg2)
+    v2 = model2.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2, train=False)
+    out2, _, _, _ = model2.apply(v2, feat1, feat2, P1, P2, train=False)
+    np.testing.assert_allclose(np.asarray(out2), 0.0, atol=1e-6)
+    # zresidual output = raw attention fusion = out - 0
+    diff = np.asarray(out) - np.asarray(out2)
+    assert np.abs(diff).max() > 0  # attention itself is nonzero
+
+
+def test_batchnorm_updates_in_train_mode(camera_ring):
+    cfg = _cfg()
+    model = Epipolar(cfg)
+    feat1, feat2, P1, P2 = _inputs(camera_ring)
+    variables = model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2, train=True)
+    assert "batch_stats" in variables
+    (out, *_), mutated = model.apply(
+        variables, feat1, feat2, P1, P2, train=True, mutable=["batch_stats"]
+    )
+    new_mean = jax.tree_util.tree_leaves(mutated["batch_stats"])[0]
+    assert np.isfinite(np.asarray(new_mean)).all()
+
+
+def test_parameterized_theta_phi_g(camera_ring):
+    cfg = _cfg(PARAMETERIZED=("z", "theta", "phi", "g"), ZRESIDUAL=False)
+    model = Epipolar(cfg)
+    feat1, feat2, P1, P2 = _inputs(camera_ring)
+    variables = model.init(jax.random.PRNGKey(1), feat1, feat2, P1, P2, train=False)
+    pnames = set(variables["params"].keys())
+    assert {"z", "theta", "phi", "g"} <= pnames
+    out, *_ = model.apply(variables, feat1, feat2, P1, P2, train=False)
+    assert out.shape == feat1.shape
+
+
+def test_prior_attention(camera_ring):
+    cfg = _cfg(PRIOR=True, SIMILARITY="prior", PARAMETERIZED=())
+    cfg = update_from_dict(cfg, {"DATASETS": {"CAMERAS": (0, 1, 2, 3)}})
+    model = Epipolar(cfg)
+    feat1, feat2, P1, P2 = _inputs(camera_ring)
+    cam = jnp.asarray([0, 1])
+    other = jnp.asarray([1, 2])
+    variables = model.init(
+        jax.random.PRNGKey(2), feat1, feat2, P1, P2, camera=cam, other_camera=other, train=False
+    )
+    assert variables["params"]["prior"].shape == (4, 4, 8, 16, 16)
+    out, *_ = model.apply(
+        variables, feat1, feat2, P1, P2, camera=cam, other_camera=other, train=False
+    )
+    assert out.shape == feat1.shape
+
+
+def test_stop_gradient_on_other_view(camera_ring):
+    """OTHER_GRAD=() must block gradients into feat2."""
+    # PARAMETERIZED=() so the zero-init BN (whose zero gamma blocks all grads
+    # at init by construction) is out of the path
+    cfg = _cfg(OTHER_GRAD=(), ZRESIDUAL=False, PARAMETERIZED=())
+    model = Epipolar(cfg)
+    feat1, feat2, P1, P2 = _inputs(camera_ring)
+    variables = model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2, train=False)
+
+    def loss(f2):
+        out, *_ = model.apply(variables, feat1, f2, P1, P2, train=False)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(feat2)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+    cfg2 = _cfg(ZRESIDUAL=False, PARAMETERIZED=())  # default OTHER_GRAD on
+    model2 = Epipolar(cfg2)
+    v2 = model2.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2, train=False)
+
+    def loss2(f2):
+        out, *_ = model2.apply(v2, feat1, f2, P1, P2, train=False)
+        return jnp.sum(out ** 2)
+
+    g2 = jax.grad(loss2)(feat2)
+    assert np.abs(np.asarray(g2)).sum() > 0
