@@ -1,0 +1,204 @@
+"""Task-level model builder (Flax).
+
+Equivalent of the reference `Modelbuilder` (modeling/model.py:25-493), minus
+the host-side eval bookkeeping (triangulation + PCK/JDR live in
+engine/tester.py — they are not part of the differentiable graph).
+
+The jit boundary: `__call__` computes the forward pass and the loss dict for
+a batch; everything it returns is a jnp array.  Reference behavior mirrored:
+  * multiview_keypoint: sibling backbone on the other view (shared weights
+    when EPIPOLAR.SHARE_WEIGHTS, model.py:44-46), epipolar reference model on
+    the target view, heatmap loss keyed by KEYPOINT.LOSS;
+  * keypoint: single-view PoseResNet + heatmap loss;
+  * lifting family: LiftingNet on GT heatmaps or backbone features, masked
+    MSE on visible joints (+ rotation MSE for *_rot).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..losses.heatmap_loss import (
+    compute_stage_loss,
+    joints_mse_loss,
+    keypoints_mse_smooth_loss,
+)
+from ..metrics.metrics3d import epe_mean
+from .lifting import LiftingNet
+from .registry import BACKBONES
+
+
+class ModelBuilder(nn.Module):
+    cfg: Config
+
+    def setup(self):
+        c = self.cfg
+        task = c.DATASETS.TASK
+        if task in ("multiview_keypoint", "multiview_img_lifting_rot"):
+            self.reference = BACKBONES[c.BACKBONE.BODY](c, name="reference")
+            if c.EPIPOLAR.SHARE_WEIGHTS:
+                self.backbone = self.reference
+            else:
+                single_body = c.BACKBONE.BODY.replace("epipolarpose", "pose")
+                self.backbone = BACKBONES[single_body](
+                    c.replace(BACKBONE=c.BACKBONE.replace(BODY=single_body)),
+                    name="backbone",
+                )
+            if task == "multiview_img_lifting_rot":
+                self.liftingnet = LiftingNet(c, name="liftingnet")
+        elif task in ("keypoint", "keypoint_lifting_rot", "keypoint_lifting_direct"):
+            self.backbone = BACKBONES[c.BACKBONE.BODY](c, name="backbone")
+            if task != "keypoint":
+                self.liftingnet = LiftingNet(c, name="liftingnet")
+        elif task == "img_lifting_rot":
+            self.backbone = BACKBONES[c.BACKBONE.BODY](c, name="backbone")
+            self.liftingnet = LiftingNet(
+                c, in_channels=self.backbone.out_channels, name="liftingnet"
+            )
+        elif c.LIFTING.ENABLED:
+            self.liftingnet = LiftingNet(c, name="liftingnet")
+        else:
+            raise NotImplementedError(task)
+
+    # ------------------------------------------------------------------ #
+
+    def _heatmap_loss(self, pred_stages, scoremap, vis):
+        c = self.cfg
+        loss_dict = {}
+        if c.KEYPOINT.LOSS == "joint":
+            loss_dict["stage_loss0"] = joints_mse_loss(
+                pred_stages[0], scoremap, vis, per_joint_sum=c.KEYPOINT.LOSS_PER_JOINT
+            )
+        elif c.KEYPOINT.LOSS == "smoothmse":
+            loss_dict["stage_loss0"] = keypoints_mse_smooth_loss(pred_stages[0], scoremap, vis)
+        else:  # 'mse'
+            _, stage_losses = compute_stage_loss(pred_stages, scoremap)
+            for i, l in enumerate(stage_losses):
+                loss_dict[f"stage_loss{i}"] = l
+        return loss_dict
+
+    def __call__(
+        self,
+        inputs: Dict[str, Any],
+        is_train: bool = True,
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        """
+        Args (inputs dict, all NHWC):
+            img: (N, H, W, 3); other_img: (N, H, W, 3) or (O, N, H, W, 3);
+            heatmap: GT scoremaps (N, h, w, J); visibility: (N, J[, ...]);
+            KRT/other_KRT: (N, 3, 4); camera/other_camera: (N,); plus the
+            lifting-task keys (can-points-3d, normed-points-3d, rotation,
+            hand-side, scale, unit).
+        Returns:
+            (loss_dict, metric_dict, out) — `loss_dict['loss']` is the total.
+        """
+        c = self.cfg
+        task = c.DATASETS.TASK
+        loss_dict: Dict[str, jnp.ndarray] = {}
+        metric_dict: Dict[str, jnp.ndarray] = {}
+        out: Dict[str, jnp.ndarray] = {}
+
+        if task in ("keypoint", "multiview_keypoint"):
+            if task == "multiview_keypoint":
+                other_img = inputs["other_img"]
+                # reference keeps the sibling backbone in train mode but wraps
+                # it in no_grad unless OTHER_GRAD (model.py:241-244)
+                other_out = self.backbone(other_img, train=is_train, decode_peaks=False)
+                other_features = other_out.features
+                if not c.EPIPOLAR.OTHER_GRAD:
+                    other_features = jax.lax.stop_gradient(other_features)
+                bb = self.reference(
+                    inputs["img"],
+                    other_features=other_features,
+                    other_KRT=inputs["other_KRT"],
+                    KRT=inputs["KRT"],
+                    camera=inputs.get("camera"),
+                    other_camera=inputs.get("other_camera"),
+                    train=is_train,
+                    decode_peaks=not is_train,
+                )
+            else:
+                bb = self.backbone(inputs["img"], train=is_train, decode_peaks=not is_train)
+
+            scoremap = inputs.get("heatmap")
+            vis = inputs.get("visibility")
+            if scoremap is not None and is_train:
+                loss_dict.update(self._heatmap_loss(bb.heatmaps, scoremap, vis))
+
+            out["heatmap_pred"] = bb.heatmaps[-1]
+            if bb.locs is not None:
+                out["batch_locs"] = bb.locs
+                out["score_pred"] = bb.scores
+            if bb.corr_pos is not None:
+                out["corr_pos"] = bb.corr_pos
+                out["depth"] = bb.depth
+            if bb.sample_locs is not None and c.VIS.EPIPOLAR_LINE:
+                out["sample_locs"] = bb.sample_locs
+
+        elif c.LIFTING.ENABLED:
+            scoremap = inputs.get("heatmap")
+            hand_side = inputs.get("hand-side")
+            vis = inputs["visibility"]
+            target = inputs.get("can-points-3d")
+            normed_target = inputs.get("normed-points-3d")
+            rot_target = inputs.get("rotation")
+            if task in ("lifting_direct", "keypoint_lifting_direct"):
+                target = normed_target
+
+            if task == "keypoint_lifting_direct":
+                bb = self.backbone(inputs["img"], train=False, decode_peaks=False)
+                feat = bb.heatmaps[-1]
+            elif self._uses_backbone_features(task):
+                feat = self.backbone(inputs["img"], train=is_train)
+            else:
+                feat = scoremap
+
+            coords, R, normed, global_pred = self.liftingnet(
+                feat, hand_side, inputs.get("R"), train=is_train
+            )
+            out = {"can_pred": coords}
+            if R is not None:
+                out["R_pred"] = R
+                out["normed_pred"] = normed
+
+            vis2 = vis
+            while vis2.ndim > 2:
+                vis2 = vis2[..., 0]
+            vis_mask = vis2.astype(jnp.float32)[..., None]
+            vis_can = coords * vis_mask
+            vis_tar = target * vis_mask
+            N = coords.shape[0]
+            if c.LIFTING.AVELOSS_KP:
+                loss = jnp.mean((vis_can - vis_tar) ** 2)
+            else:
+                loss = jnp.sum((vis_can - vis_tar) ** 2) / N
+            loss_dict["xyz_loss"] = loss
+            metric_dict["EPEmean_can"], _ = epe_mean(
+                coords, target, vis2, inputs.get("scale"), inputs.get("unit"),
+                max_dist=c.TEST.EPEMEAN_MAX_DIST,
+            )
+            if "lifting_rot" in task:
+                loss_dict["rot_loss"] = jnp.mean((R - rot_target) ** 2)
+                metric_dict["EPEmean"], _ = epe_mean(
+                    normed, normed_target, vis2, inputs.get("scale"), inputs.get("unit"),
+                    max_dist=c.TEST.EPEMEAN_MAX_DIST,
+                )
+        else:
+            raise NotImplementedError(task)
+
+        # total loss (reference model.py:478-484)
+        if len(loss_dict) > 1:
+            loss_dict["loss"] = sum(loss_dict.values())
+        elif len(loss_dict) == 1:
+            (_, only), = loss_dict.items()
+            loss_dict = {"loss": only}
+        return loss_dict, metric_dict, out
+
+    @staticmethod
+    def _uses_backbone_features(task: str) -> bool:
+        return task in ("img_lifting_rot", "multiview_img_lifting_rot")
