@@ -1,0 +1,147 @@
+"""Training engine: jit-compiled data-parallel train step + epoch loop.
+
+Equivalent of reference engine/trainer.py:18-141, redesigned TPU-first:
+  * one `jax.jit` train step (forward + backward + optimizer) — the
+    reference's zero_grad/backward/step and DataParallel scatter/gather
+    collapse into a single XLA program;
+  * data parallelism via GSPMD: batches sharded on the mesh's `data` axis,
+    params replicated; XLA inserts the gradient all-reduce over ICI;
+  * BN stats are global-batch by construction (see parallel/mesh.py);
+  * per-epoch MultiStepLR via the optax schedule (solver.py), periodic
+    checkpointing with `last_checkpoint` resume, windowed meters.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training import train_state
+
+from ..config import Config
+from ..data.pipeline import make_data_loader
+from ..models import ModelBuilder
+from ..parallel.mesh import make_mesh, shard_batch
+from ..utils.checkpoint import Checkpointer
+from ..utils.metric_logger import MetricLogger
+from .solver import make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def select_model_inputs(cfg: Config, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Keep only the keys the model consumes (jit-static key set)."""
+    keys = [
+        "img", "heatmap", "visibility", "KRT", "other_img", "other_KRT",
+        "camera", "other_camera", "hand-side", "can-points-3d",
+        "normed-points-3d", "rotation", "scale", "unit", "R",
+    ]
+    return {k: batch[k] for k in keys if k in batch}
+
+
+def create_train_state(cfg: Config, rng, sample_inputs: Dict, steps_per_epoch: int = 1) -> TrainState:
+    model = ModelBuilder(cfg)
+    variables = model.init(rng, sample_inputs, is_train=True)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=tx,
+        batch_stats=variables.get("batch_stats", {}),
+    )
+
+
+def make_train_step(cfg: Config):
+    """Build the jitted train step: (state, inputs, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, inputs: Dict, dropout_rng):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (loss_dict, metric_dict, _), mutated = state.apply_fn(
+                variables,
+                inputs,
+                is_train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            return loss_dict["loss"], (loss_dict, metric_dict, mutated)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (loss_dict, metric_dict, mutated)), grads = grad_fn(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=mutated.get("batch_stats", state.batch_stats))
+        return state, {**loss_dict, **metric_dict}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None):
+    """Full training loop. Returns the final TrainState.
+
+    Args:
+        max_steps: optional cap on total steps (tests / smoke runs).
+        eval_fn: optional callable (cfg, state) -> dict, invoked every
+            EVAL_FREQ epochs (reference trainer.py:139-141).
+    """
+    mesh = mesh or make_mesh()
+    loader = make_data_loader(cfg, is_train=True)
+    steps_per_epoch = max(len(loader), 1)
+
+    rng = jax.random.PRNGKey(cfg.SEED)
+    init_rng, dropout_rng = jax.random.split(rng)
+
+    first_batch = next(iter(loader))
+    sample_inputs = select_model_inputs(cfg, first_batch)
+    with mesh:
+        state = create_train_state(cfg, init_rng, sample_inputs, steps_per_epoch)
+
+    checkpointer = Checkpointer(cfg.OUTPUT_DIR)
+    start_epoch = 0
+    restored, extra = checkpointer.load(state, cfg.WEIGHTS or None)
+    if restored is not None:
+        state = restored
+        start_epoch = int(extra.get("epoch", 0))
+        logger.info("Resumed from epoch %d", start_epoch)
+
+    train_step = make_train_step(cfg)
+    meters = MetricLogger()
+    step = 0
+    t_data, t_step = 0.0, 0.0
+
+    for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS):
+        t0 = time.time()
+        for batch in loader:
+            t_data += time.time() - t0
+            inputs = select_model_inputs(cfg, batch)
+            with mesh:
+                inputs = shard_batch(inputs, mesh, cfg.MESH_AXIS)
+                dropout_rng, step_rng = jax.random.split(dropout_rng)
+                state, metrics = train_step(state, inputs, step_rng)
+            step += 1
+            t_step += time.time() - t0
+            if step % cfg.LOG_FREQ == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                meters.update(**metrics)
+                logger.info(
+                    "epoch %d step %d  %s  data_t %.3f step_t %.3f",
+                    epoch, step, meters, t_data / step, t_step / step,
+                )
+            if max_steps is not None and step >= max_steps:
+                return state
+            t0 = time.time()
+        if (epoch + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+            checkpointer.save(f"model_{epoch:03d}", state, epoch=epoch + 1)
+        if eval_fn is not None and (epoch + 1) % cfg.EVAL_FREQ == 0:
+            eval_fn(cfg, state)
+    if cfg.SOLVER.MAX_EPOCHS > start_epoch:
+        checkpointer.save("model_final", state, epoch=cfg.SOLVER.MAX_EPOCHS)
+    return state

@@ -70,10 +70,10 @@ class Epipolar(nn.Module):
             assert not e.ZRESIDUAL
         if "z" in e.PARAMETERIZED:
             self.z = nn.Conv(nfeats, (1, 1), use_bias=True, name="z")
+            # axis_name=None: BN sync is implicit under jit+GSPMD (see
+            # models/resnet.py:_norm)
             self.bn = ZeroInitBatchNorm(
-                momentum=1.0 - c.BACKBONE.BN_MOMENTUM,
-                axis_name=c.MESH_AXIS if c.BACKBONE.SYNC_BN else None,
-                name="bn",
+                momentum=1.0 - c.BACKBONE.BN_MOMENTUM, axis_name=None, name="bn",
             )
         if "theta" in e.PARAMETERIZED:
             self.theta = nn.Conv(bottleneck, (1, 1), use_bias=True, name="theta")

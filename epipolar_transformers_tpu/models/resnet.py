@@ -55,11 +55,15 @@ class BackboneOutput(NamedTuple):
 def _norm(cfg: Config, name: str):
     momentum = cfg.BACKBONE.BN_MOMENTUM
     momentum = 0.1 if momentum < 0 else momentum
+    # SYNC_BN note: under jit+GSPMD the batch axis is globally sharded, so
+    # BN's batch reductions are already cross-replica (XLA inserts the
+    # all-reduce) — the reference's vendored SyncBN machinery is implicit
+    # here and axis_name is only needed for explicit shard_map/pmap training.
     return nn.BatchNorm(
         use_running_average=None,  # via flax 'train' kwarg at call sites
         momentum=1.0 - momentum,
         epsilon=1e-5,
-        axis_name=cfg.MESH_AXIS if cfg.BACKBONE.SYNC_BN else None,
+        axis_name=None,
         name=name,
     )
 

@@ -1,0 +1,72 @@
+"""Checkpointing with `last_checkpoint` resume semantics.
+
+Equivalent of reference utils/checkpoint.py:9-103: save params + optimizer +
+epoch to `model_%03d.ckpt`, track the latest in a `last_checkpoint` tag file,
+and prefer it over cfg.WEIGHTS on load.  Serialization is flax msgpack
+(framework-native) instead of torch pickles; a torch-`.pth` importer lives in
+utils/torch_import.py.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Optional
+
+from flax import serialization
+
+logger = logging.getLogger(__name__)
+
+
+class Checkpointer:
+    def __init__(self, save_dir: str = ""):
+        self.save_dir = save_dir
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+
+    # -------------------------------------------------- save
+    def save(self, name: str, state: Any, **extra):
+        """Serialize `state` (a pytree, e.g. TrainState) + extra metadata."""
+        if not self.save_dir:
+            return
+        payload = {"state": serialization.to_state_dict(state), "extra": extra}
+        path = os.path.join(self.save_dir, f"{name}.ckpt")
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+        self.tag_last_checkpoint(f"{name}.ckpt")
+        logger.info("Saved checkpoint to %s", path)
+
+    # -------------------------------------------------- load
+    def load(self, template: Any, path: Optional[str] = None):
+        """Restore into the structure of `template`.
+
+        Resolution order mirrors the reference (checkpoint.py:54-57): an
+        existing `last_checkpoint` tag wins over the explicit `path`.
+        Returns (state, extra) or (None, {}) when nothing to load.
+        """
+        if self.has_checkpoint():
+            path = os.path.join(self.save_dir, self.get_checkpoint_file())
+        if not path or not os.path.exists(path):
+            return None, {}
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        state = serialization.from_state_dict(template, payload["state"])
+        logger.info("Loaded checkpoint from %s", path)
+        return state, payload.get("extra", {})
+
+    # -------------------------------------------------- tag file
+    def has_checkpoint(self) -> bool:
+        return bool(self.save_dir) and os.path.exists(
+            os.path.join(self.save_dir, "last_checkpoint")
+        )
+
+    def get_checkpoint_file(self) -> str:
+        try:
+            with open(os.path.join(self.save_dir, "last_checkpoint")) as f:
+                return f.read().strip()
+        except OSError:
+            return ""
+
+    def tag_last_checkpoint(self, filename: str):
+        with open(os.path.join(self.save_dir, "last_checkpoint"), "w") as f:
+            f.write(filename)
