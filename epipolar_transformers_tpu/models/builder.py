@@ -109,9 +109,14 @@ class ModelBuilder(nn.Module):
                 # reference keeps the sibling backbone in train mode but wraps
                 # it in no_grad unless OTHER_GRAD (model.py:241-244)
                 other_out = self.backbone(other_img, train=is_train, decode_peaks=False)
+                # PoseResNet: single deconv map; Hourglass: tuple of
+                # per-merge-point maps (reference model.py:244 passes the
+                # backbone's `features` return straight through)
                 other_features = other_out.features
                 if not c.EPIPOLAR.OTHER_GRAD:
-                    other_features = jax.lax.stop_gradient(other_features)
+                    other_features = jax.tree_util.tree_map(
+                        jax.lax.stop_gradient, other_features
+                    )
                 bb = self.reference(
                     inputs["img"],
                     other_features=other_features,
