@@ -6,14 +6,19 @@ Measures the flagship configuration (zresidual epipolar PoseResNet-50,
 full fused multiview inference = other-view backbone + reference backbone
 + epipolar attention + heatmap head + soft-argmax decode, per frame.
 
+Timing methodology: on this environment `jax.block_until_ready` does NOT
+actually synchronize (the axon tunnel acks dispatch, not completion), so
+each iteration forces a small device->host fetch; the measured host-sync
+round-trip floor is subtracted.  See PERF.md.
+
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "frames/sec/chip", "vs_baseline": x}
 
-vs_baseline is against 3x the estimated V100 throughput of the reference
-implementation (the BASELINE.md target '>= 3x V100 frames/sec per chip').
-V100_EST_FPS is a documented engineering estimate for the reference torch
-pipeline (python-loop epipolar over the batch + two ResNet-50 passes at
-256px on one V100, fp32): ~55 f/s.
+vs_baseline is fps / (3 x V100_EST_FPS): the BASELINE.md target is
+'>= 3x V100 frames/sec per chip'.  V100_EST_FPS is a documented engineering
+estimate of the reference torch pipeline's fused multiview inference
+(python-loop epipolar with 64 sequential grid_samples + two ResNet-50
+passes at 256px, fp32, one V100): ~55 f/s.
 """
 
 from __future__ import annotations
@@ -25,46 +30,53 @@ import numpy as np
 
 V100_EST_FPS = 55.0
 TARGET_MULTIPLIER = 3.0
+BATCH = 8
+ITERS = 30
+
+
+def _sync_bench(fn, args, iters):
+    """Per-iteration host-fetch timing; returns seconds per iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    _ = np.asarray(jnp.sum(fn(*args)[0]))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _ = np.asarray(jnp.sum(fn(*args)[0]))
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch, _flagship_cfg
     from epipolar_transformers_tpu.models import ModelBuilder
 
-    batch = 8
     cfg = _flagship_cfg()
-    inputs = _example_batch(cfg, batch=batch)
+    inputs = _example_batch(cfg, batch=BATCH)
 
     model = ModelBuilder(cfg)
     variables = model.init(jax.random.PRNGKey(0), inputs, is_train=False)
 
     @jax.jit
     def forward(img, other_img, KRT, other_KRT):
-        feed = {
-            "img": img, "other_img": other_img, "KRT": KRT,
-            "other_KRT": other_KRT,
-        }
+        feed = {"img": img, "other_img": other_img, "KRT": KRT, "other_KRT": other_KRT}
         _, _, out = model.apply(variables, feed, is_train=False)
         return out["batch_locs"], out["score_pred"], out["heatmap_pred"]
 
-    args = (inputs["img"], inputs["other_img"], inputs["KRT"], inputs["other_KRT"])
-    args = jax.device_put(args)
+    args = jax.device_put(
+        (inputs["img"], inputs["other_img"], inputs["KRT"], inputs["other_KRT"])
+    )
 
-    # warmup / compile
-    for _ in range(3):
-        res = forward(*args)
-    jax.block_until_ready(res)
+    # measure the host-sync round-trip floor with a trivial kernel
+    tiny = jax.device_put(np.ones((8, 8), np.float32))
+    floor = _sync_bench(jax.jit(lambda x: (x * 2.0,)), (tiny,), ITERS)
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        res = forward(*args)
-    jax.block_until_ready(res)
-    dt = time.perf_counter() - t0
+    per_iter = _sync_bench(forward, args, ITERS)
+    compute = max(per_iter - floor, 1e-6)
+    fps = BATCH / compute
 
-    fps = batch * iters / dt
     result = {
         "metric": "multiview_fused_inference_throughput",
         "value": round(fps, 2),

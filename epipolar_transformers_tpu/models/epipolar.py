@@ -26,12 +26,31 @@ from flax import linen as nn
 
 from ..config import Config
 from ..ops.epipolar_attention import AttentionParams, epipolar_attention
+from ..ops.epipolar_attention_streaming import (
+    epipolar_attention_streaming,
+    reconstruct_depth,
+)
 from ..ops.epipolar_sampling import EpipolarGeometry, epipolar_sample_locs
-from .layers import ZeroInitBatchNorm
+from .layers import ZeroInitBatchNorm, compute_dtype
 
 
 class Epipolar(nn.Module):
     cfg: Config
+    # 'streaming': single-gather-pass online-softmax attention (default;
+    # ops/epipolar_attention_streaming.py).  'reference': the two-pass
+    # oracle implementation.
+    attention_impl: str = "streaming"
+
+    def _shared_kv(self) -> bool:
+        """True when keys and values are the same tensor — the flagship
+        SHARE path (reference epipolar.py:204-208 samples once)."""
+        e = self.cfg.EPIPOLAR
+        return (
+            e.FIND_CORR != "rgb"
+            and "phi" not in e.PARAMETERIZED
+            and "g" not in e.PARAMETERIZED
+            and (("other1" in e.OTHER_GRAD) == ("other2" in e.OTHER_GRAD))
+        )
 
     @property
     def geometry(self) -> EpipolarGeometry:
@@ -69,18 +88,18 @@ class Epipolar(nn.Module):
             assert all(k in e.PARAMETERIZED for k in ("z", "theta", "phi", "g"))
             assert not e.ZRESIDUAL
         if "z" in e.PARAMETERIZED:
-            self.z = nn.Conv(nfeats, (1, 1), use_bias=True, name="z")
+            self.z = nn.Conv(nfeats, (1, 1), use_bias=True, dtype=compute_dtype(c), name="z")
             # axis_name=None: BN sync is implicit under jit+GSPMD (see
             # models/resnet.py:_norm)
             self.bn = ZeroInitBatchNorm(
                 momentum=1.0 - c.BACKBONE.BN_MOMENTUM, axis_name=None, name="bn",
             )
         if "theta" in e.PARAMETERIZED:
-            self.theta = nn.Conv(bottleneck, (1, 1), use_bias=True, name="theta")
+            self.theta = nn.Conv(bottleneck, (1, 1), use_bias=True, dtype=compute_dtype(c), name="theta")
         if "phi" in e.PARAMETERIZED:
-            self.phi = nn.Conv(bottleneck, (1, 1), use_bias=True, name="phi")
+            self.phi = nn.Conv(bottleneck, (1, 1), use_bias=True, dtype=compute_dtype(c), name="phi")
         if "g" in e.PARAMETERIZED:
-            self.g = nn.Conv(bottleneck, (1, 1), use_bias=True, name="g")
+            self.g = nn.Conv(bottleneck, (1, 1), use_bias=True, dtype=compute_dtype(c), name="g")
         if e.PRIOR:
             n_cams = max(len(c.DATASETS.CAMERAS), 1)
             h, w = c.KEYPOINT.HEATMAP_SIZE
@@ -139,16 +158,58 @@ class Epipolar(nn.Module):
         # -- geometry (no_grad in the reference, epipolar.py:178-183)
         geom = self.geometry
         grid = jnp.asarray(geom.grid())
+        # sample locations stay float32 even under bf16 compute — bf16's
+        # 8-bit mantissa would cost up to half a pixel of placement error
         sample_locs = jax.lax.stop_gradient(
             jax.vmap(lambda a, b: epipolar_sample_locs(a, b, geom, grid))(
                 P1.astype(jnp.float32), P2.astype(jnp.float32)
             )
-        ).astype(feat2.dtype)
+        )
 
         params = self.attention_params
-
+        prior = None
         if e.PRIOR or e.SIMILARITY == "prior":
             prior = self.prior_table[camera, other_camera]  # (N, K', H, W)
+
+        if self.attention_impl == "streaming" and e.SIMILARITY != "prior":
+            shared = self._shared_kv()
+            # the full (K', H, W) weight stack is only materialized when a
+            # consumer actually reads it (reprojection loss, warped heatmaps,
+            # epipolar-line vis, saved predictions) — it costs a full extra
+            # key-gather pass (~45% of attention time)
+            need_depth = (
+                e.REPROJECT_LOSS_WEIGHT != 0
+                or e.WARPEDHEATMAP
+                or c.VIS.EPIPOLAR_LINE
+                or (not train and c.VIS.SAVE_PRED)
+            )
+            if prior is None:
+                out, corr_pos, stats = jax.vmap(
+                    lambda q, o1, o2, s: epipolar_attention_streaming(
+                        q, o1, o2, s, params, shared_kv=shared
+                    )
+                )(query, other1, other2, sample_locs)
+                if need_depth:
+                    depth = jax.vmap(
+                        lambda q, o1, s, st: reconstruct_depth(q, o1, s, params, st)
+                    )(query, other1, sample_locs, stats)
+                else:
+                    depth = stats.best_rank[:, None]  # (N, 1, H, W) placeholder
+            else:
+                out, corr_pos, stats = jax.vmap(
+                    lambda q, o1, o2, s, p: epipolar_attention_streaming(
+                        q, o1, o2, s, params, p, shared_kv=shared
+                    )
+                )(query, other1, other2, sample_locs, prior)
+                if need_depth:
+                    depth = jax.vmap(
+                        lambda q, o1, s, st, p: reconstruct_depth(
+                            q, o1, s, params, st, p
+                        )
+                    )(query, other1, sample_locs, stats, prior)
+                else:
+                    depth = stats.best_rank[:, None]
+        elif prior is not None:
             out, corr_pos, depth = jax.vmap(
                 lambda q, o1, o2, s, p: epipolar_attention(q, o1, o2, s, params, p)
             )(query, other1, other2, sample_locs, prior)

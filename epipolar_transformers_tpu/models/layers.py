@@ -19,6 +19,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def compute_dtype(cfg):
+    """Backbone compute dtype: bfloat16 rides the v5e MXU natively; params
+    and BN statistics stay float32 (flax param_dtype default)."""
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if cfg.DTYPE == "bfloat16" else jnp.float32
+
+
 class ZeroInitBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5

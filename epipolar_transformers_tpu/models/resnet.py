@@ -25,6 +25,7 @@ from flax import linen as nn
 from ..config import Config
 from ..ops.soft_argmax import find_tensor_peak_batch
 from .epipolar import Epipolar
+from .layers import compute_dtype
 
 # block type ('basic'|'bottleneck') and per-stage block counts
 RESNET_SPEC = {
@@ -78,15 +79,15 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False, kernel_init=_KAIMING, name="conv1")(x)
+                      use_bias=False, dtype=compute_dtype(self.cfg), kernel_init=_KAIMING, name="conv1")(x)
         out = _norm(self.cfg, "bn1")(out, use_running_average=not train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                      kernel_init=_KAIMING, name="conv2")(out)
+                      dtype=compute_dtype(self.cfg), kernel_init=_KAIMING, name="conv2")(out)
         out = _norm(self.cfg, "bn2")(out, use_running_average=not train)
         if self.downsample:
             identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
-                               use_bias=False, kernel_init=_KAIMING,
+                               use_bias=False, dtype=compute_dtype(self.cfg), kernel_init=_KAIMING,
                                name="downsample_conv")(x)
             identity = _norm(self.cfg, "downsample_bn")(identity, use_running_average=not train)
         return nn.relu(out + identity)
@@ -103,20 +104,20 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = True):
         identity = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False,
-                      kernel_init=_KAIMING, name="conv1")(x)
+                      dtype=compute_dtype(self.cfg), kernel_init=_KAIMING, name="conv1")(x)
         out = _norm(self.cfg, "bn1")(out, use_running_average=not train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False, kernel_init=_KAIMING, name="conv2")(out)
+                      use_bias=False, dtype=compute_dtype(self.cfg), kernel_init=_KAIMING, name="conv2")(out)
         out = _norm(self.cfg, "bn2")(out, use_running_average=not train)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      kernel_init=_KAIMING, name="conv3")(out)
+                      dtype=compute_dtype(self.cfg), kernel_init=_KAIMING, name="conv3")(out)
         out = _norm(self.cfg, "bn3")(out, use_running_average=not train)
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=self.stride, use_bias=False,
-                               kernel_init=_KAIMING, name="downsample_conv")(x)
+                               dtype=compute_dtype(self.cfg), kernel_init=_KAIMING, name="downsample_conv")(x)
             identity = _norm(self.cfg, "downsample_bn")(identity, use_running_average=not train)
         return nn.relu(out + identity)
 
@@ -150,7 +151,7 @@ class ResNetTrunk(nn.Module):
     def __call__(self, x, train: bool = True, return_stages: bool = False):
         c = self.cfg
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    kernel_init=_KAIMING, name="conv1")(x)
+                    dtype=compute_dtype(c), kernel_init=_KAIMING, name="conv1")(x)
         x = _norm(c, "bn1")(x, use_running_average=not train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -194,6 +195,7 @@ class DeconvHead(nn.Module):
         for i in range(self.num_layers):
             x = nn.ConvTranspose(self.filters, (4, 4), strides=(2, 2),
                                  padding="SAME", use_bias=False,
+                                 dtype=compute_dtype(self.cfg),
                                  kernel_init=_HEAD_INIT, name=f"deconv{i}")(x)
             x = _norm(self.cfg, f"bn{i}")(x, use_running_average=not train)
             x = nn.relu(x)
@@ -208,7 +210,7 @@ class PoseResNet(nn.Module):
         depth = c.BACKBONE.BODY.split("-")[-1]
         block, layers = RESNET_SPEC[depth]
         self.trunk_conv1 = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                                   kernel_init=_KAIMING, name="conv1")
+                                   dtype=compute_dtype(c), kernel_init=_KAIMING, name="conv1")
         self.trunk_bn1 = _norm(c, "bn1")
         self.layer1 = ResNetStage(c, block, 64, layers[0], name="layer1")
         self.layer2 = ResNetStage(c, block, 128, layers[1], 2, name="layer2")
@@ -217,6 +219,7 @@ class PoseResNet(nn.Module):
         self.deconv = DeconvHead(c, name="deconv_layers")
         self.final_layer = nn.Conv(
             c.KEYPOINT.NUM_PTS, (1, 1), use_bias=True,
+            dtype=compute_dtype(c),
             kernel_init=_HEAD_INIT, bias_init=nn.initializers.zeros,
             name="final_layer",
         )

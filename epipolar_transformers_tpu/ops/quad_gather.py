@@ -1,0 +1,91 @@
+"""Single-gather bilinear sampling via a quad (4-corner) row layout.
+
+XLA's TPU row-gather throughput is issue-rate-bound, not bandwidth-bound, so
+bilinear sampling's 4 gathers per sample cost ~4x one gather.  This module
+packs all 4 interpolation corners of every pixel into ONE row:
+
+    quad[y*W + x] = concat(f[y,x], f[y,x+1], f[y+1,x], f[y+1,x+1])  (4C wide)
+
+built with two shifted copies (zero-padded at the high edges), so a bilinear
+sample becomes a single row gather + a weighted sum of the row's 4 slots.
+
+Exactness vs grid_sample_2d (torch zero-padding semantics): high-edge
+corners read the zero padding (weight x 0 anyway); low-edge samples
+(floor(x) == -1) shift the valid corner into slot 0 and move its weight
+along — `_slot_weights` computes the per-slot weights with validity masks,
+so results match ops/grid_sample.py bit-for-bit in f32.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def build_quad(image: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (H*W, 4*C) quad-corner rows."""
+    H, W, C = image.shape
+    padded = jnp.pad(image, ((0, 1), (0, 1), (0, 0)))
+    f00 = padded[:H, :W]
+    f01 = padded[:H, 1 : W + 1]
+    f10 = padded[1 : H + 1, :W]
+    f11 = padded[1 : H + 1, 1 : W + 1]
+    return jnp.concatenate([f00, f01, f10, f11], axis=-1).reshape(H * W, 4 * C)
+
+
+def _axis_slot_weights(coord: jnp.ndarray, size: int):
+    """Per-axis slot weights + base index for one coordinate array.
+
+    Returns (base, w0, w1): base in [0, size-1]; w0/w1 the weights of the
+    quad's slot-0/slot-1 corners along this axis, already masked for
+    validity (true corner position inside [0, size-1]).
+    """
+    c0 = jnp.floor(coord)
+    frac = coord - c0
+    base = jnp.clip(c0, 0, size - 1).astype(jnp.int32)
+    # shift == 1 iff c0 < 0 (the valid corner moves into slot 0)
+    shifted = c0 < 0
+    valid0 = (c0 >= 0) & (c0 <= size - 1)
+    valid1 = (c0 + 1 >= 0) & (c0 + 1 <= size - 1)
+    w0 = jnp.where(shifted, jnp.where(valid1, frac, 0.0), jnp.where(valid0, 1.0 - frac, 0.0))
+    w1 = jnp.where(shifted, 0.0, jnp.where(valid1, frac, 0.0))
+    return base, w0, w1
+
+
+def quad_sample(
+    quad: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    H: int,
+    W: int,
+) -> jnp.ndarray:
+    """Bilinear sample at pixel coords (x, y) from a quad layout.
+
+    Args:
+        quad: (H*W, 4C) from build_quad.
+        x, y: (...,) pixel coordinates (align_corners=True convention:
+            integer coords hit pixel centers).
+    Returns:
+        (..., C) samples, zero where all corners are out of range.
+    """
+    C = quad.shape[-1] // 4
+    xb, wx0, wx1 = _axis_slot_weights(x, W)
+    yb, wy0, wy1 = _axis_slot_weights(y, H)
+    rows = jnp.take(quad, yb * W + xb, axis=0)  # (..., 4C)
+    shape = rows.shape[:-1] + (4, C)
+    g = rows.reshape(shape)
+    w = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+    # weights stay f32; accumulate in f32, return the storage dtype
+    out = jnp.einsum("...sc,...s->...c", g.astype(jnp.float32), w.astype(jnp.float32))
+    return out.astype(quad.dtype)
+
+
+def quad_sample_normalized(quad, grid, H, W, align_corners: bool = True):
+    """Sample at normalized (-1, 1) grid (x, y) — grid_sample_2d drop-in."""
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        x = (gx + 1.0) / 2.0 * (W - 1)
+        y = (gy + 1.0) / 2.0 * (H - 1)
+    else:
+        x = ((gx + 1.0) * W - 1.0) / 2.0
+        y = ((gy + 1.0) * H - 1.0) / 2.0
+    return quad_sample(quad, x, y, H, W)
