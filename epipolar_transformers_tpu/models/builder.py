@@ -104,6 +104,8 @@ class ModelBuilder(nn.Module):
         out: Dict[str, jnp.ndarray] = {}
 
         if task in ("keypoint", "multiview_keypoint"):
+            if task == "multiview_keypoint" and c.EPIPOLAR.MULTITEST and not is_train:
+                return self._multitest_forward(inputs)
             if task == "multiview_keypoint":
                 other_img = inputs["other_img"]
                 # reference keeps the sibling backbone in train mode but wraps
@@ -134,6 +136,37 @@ class ModelBuilder(nn.Module):
             vis = inputs.get("visibility")
             if scoremap is not None and is_train:
                 loss_dict.update(self._heatmap_loss(bb.heatmaps, scoremap, vis))
+
+            if (
+                task == "multiview_keypoint"
+                and is_train
+                and c.EPIPOLAR.REPROJECT_LOSS_WEIGHT != 0
+                and bb.depth is not None
+                and bb.sample_locs is not None
+            ):
+                from ..ops.epipolar_reproject import (
+                    gt_grid,
+                    reproject_consistency,
+                    reprojection_loss,
+                )
+
+                sampler = self.reference.epipolar_sampler
+                geom = sampler.geometry
+                params = sampler.attention_params
+                reproj, mask = jax.vmap(
+                    lambda f1, f2, sl, d, P1, P2: reproject_consistency(
+                        f1, f2, sl, d, P1, P2, geom, params
+                    )
+                )(
+                    bb.features, other_features, bb.sample_locs, bb.depth,
+                    inputs["KRT"].astype(jnp.float32),
+                    inputs["other_KRT"].astype(jnp.float32),
+                )
+                grid = jnp.asarray(gt_grid(geom))
+                loss_dict["reproject_loss"] = (
+                    c.EPIPOLAR.REPROJECT_LOSS_WEIGHT
+                    * reprojection_loss(reproj, grid[None], mask)
+                )
 
             out["heatmap_pred"] = bb.heatmaps[-1]
             if bb.locs is not None:
@@ -203,6 +236,43 @@ class ModelBuilder(nn.Module):
             (_, only), = loss_dict.items()
             loss_dict = {"loss": only}
         return loss_dict, metric_dict, out
+
+    def _multitest_forward(self, inputs):
+        """MULTITEST eval: run the epipolar model against EVERY candidate
+        other view and keep, per joint, the locs with the max confidence
+        (reference model.py:213-239).
+
+        `other_img`/`other_KRT` carry a leading candidate axis (O, N, ...).
+        """
+        c = self.cfg
+        other_imgs = inputs["other_img"]  # (O, N, H, W, 3)
+        other_KRTs = inputs["other_KRT"]  # (O, N, 3, 4)
+
+        all_locs, all_scos = [], []
+        for other_img_i, other_KRT_i in zip(other_imgs, other_KRTs):
+            other_out = self.backbone(other_img_i, train=False, decode_peaks=False)
+            bb = self.reference(
+                inputs["img"],
+                other_features=other_out.features,
+                other_KRT=other_KRT_i,
+                KRT=inputs["KRT"],
+                train=False,
+            )
+            all_locs.append(bb.locs)
+            all_scos.append(bb.scores)
+        all_locs = jnp.stack(all_locs)  # (O, N, J, 2)
+        all_scos = jnp.stack(all_scos)  # (O, N, J)
+        best = jnp.argmax(all_scos, axis=0)  # (N, J)
+        batch_scos = jnp.max(all_scos, axis=0)
+        batch_locs = jnp.take_along_axis(
+            all_locs, best[None, ..., None], axis=0
+        )[0]
+        out = {
+            "heatmap_pred": bb.heatmaps[-1],
+            "batch_locs": batch_locs,
+            "score_pred": batch_scos,
+        }
+        return {}, {}, out
 
     @staticmethod
     def _uses_backbone_features(task: str) -> bool:
