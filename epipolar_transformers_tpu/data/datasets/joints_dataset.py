@@ -202,9 +202,12 @@ class JointsDataset:
         KRT = cropK @ Rt
 
         if needs_image:
-            img = cv2.warpAffine(
-                img, trans, (int(self.image_size[0]), int(self.image_size[1])),
-                flags=cv2.INTER_LINEAR,
+            # native OpenMP warp (runtime/warp.cpp), cv2-parity tested
+            from ...runtime import loader as native
+
+            img = native.warp_affine(
+                img.astype(np.float32), trans,
+                (int(self.image_size[0]), int(self.image_size[1])),
             )
 
         for i in range(self.num_joints):
@@ -217,7 +220,11 @@ class JointsDataset:
                 ):
                     joints_vis[i, :] = 0
 
-        target = self._gauss_heatmaps(joints)
+        from ...runtime import loader as native
+
+        target = native.render_heatmaps(
+            joints, tuple(self.heatmap_size), self.sigma, cfg.BACKBONE.DOWNSAMPLE
+        )
 
         ret = {
             "heatmap": target.transpose(1, 2, 0),  # (h, w, J) NHWC
@@ -233,9 +240,9 @@ class JointsDataset:
             "RT": Rt.astype(np.float32),
         }
         if needs_image:
-            # BGR uint8 -> normalized float RGB NHWC (torchvision-compatible)
-            rgb = img[..., ::-1].astype(np.float32) / 255.0
-            ret["img"] = (rgb - IMAGENET_MEAN) / IMAGENET_STD
+            # BGR -> normalized float RGB NHWC (torchvision-compatible)
+            rgb = img[..., ::-1] / 255.0
+            ret["img"] = ((rgb - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
         if cfg.KEYPOINT.TRIANGULATION == "rpsm" and not self.is_train:
             ret["origK"] = K.astype(np.float32)
             ret["crop_center"] = center.astype(np.float32)
