@@ -86,6 +86,7 @@ class ModelBuilder(nn.Module):
         self,
         inputs: Dict[str, Any],
         is_train: bool = True,
+        bn_train: bool = False,
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         """
         Args (inputs dict, all NHWC):
@@ -99,6 +100,8 @@ class ModelBuilder(nn.Module):
         """
         c = self.cfg
         task = c.DATASETS.TASK
+        # TEST.TRAIN_BN: batch statistics at eval without enabling train outputs
+        net_train = is_train or bn_train
         loss_dict: Dict[str, jnp.ndarray] = {}
         metric_dict: Dict[str, jnp.ndarray] = {}
         out: Dict[str, jnp.ndarray] = {}
@@ -110,7 +113,7 @@ class ModelBuilder(nn.Module):
                 other_img = inputs["other_img"]
                 # reference keeps the sibling backbone in train mode but wraps
                 # it in no_grad unless OTHER_GRAD (model.py:241-244)
-                other_out = self.backbone(other_img, train=is_train, decode_peaks=False)
+                other_out = self.backbone(other_img, train=net_train, decode_peaks=False)
                 # PoseResNet: single deconv map; Hourglass: tuple of
                 # per-merge-point maps (reference model.py:244 passes the
                 # backbone's `features` return straight through)
@@ -126,11 +129,11 @@ class ModelBuilder(nn.Module):
                     KRT=inputs["KRT"],
                     camera=inputs.get("camera"),
                     other_camera=inputs.get("other_camera"),
-                    train=is_train,
+                    train=net_train,
                     decode_peaks=not is_train,
                 )
             else:
-                bb = self.backbone(inputs["img"], train=is_train, decode_peaks=not is_train)
+                bb = self.backbone(inputs["img"], train=net_train, decode_peaks=not is_train)
 
             scoremap = inputs.get("heatmap")
             vis = inputs.get("visibility")

@@ -51,6 +51,14 @@ def main(argv=None):
     logger.info("devices: %s", jax.devices())
     logger.info("task=%s backbone=%s", cfg.DATASETS.TASK, cfg.BACKBONE.BODY)
 
+    if cfg.VIS.FLOPS:
+        # reference tester.py:36-43: print params/FLOPs and stop
+        from epipolar_transformers_tpu.utils.profiling import profile_model
+
+        prof = profile_model(cfg)
+        print("PROFILE:", prof)
+        return prof
+
     from epipolar_transformers_tpu.engine import test as run_test
     from epipolar_transformers_tpu.engine import train as run_train
 
