@@ -118,6 +118,11 @@ def build_dataset(cfg, name: str):
         from .datasets.rhd import RHDDataset
 
         return RHDDataset(cfg, entry["root"], entry["set"], is_train=entry["is_train"])
+    if factory == "MPIIDataset":
+        from .datasets.mpii import MPIIDataset
+
+        return MPIIDataset(cfg, entry["root"], entry.get("set", "train"),
+                           is_train=entry["is_train"])
     raise NotImplementedError(factory)
 
 

@@ -19,6 +19,59 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) 3x3 inverse, batched over leading dims.
+
+    TPU-friendly: pure arithmetic instead of LU/LAPACK loops — tiny-matrix
+    `jnp.linalg.inv/solve/pinv` lower to iterative code that is slow on TPU
+    (and the standalone graph can even crash the Mosaic-era XLA pipeline).
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    adj = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], axis=-1),
+            jnp.stack([co10, co11, co12], axis=-1),
+            jnp.stack([co20, co21, co22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def pinv34(P: jnp.ndarray) -> jnp.ndarray:
+    """Right pseudo-inverse of a full-row-rank (..., 3, 4) projection:
+    P^+ = P^T (P P^T)^{-1} — closed form via inv3x3 (no SVD).
+
+    Projection matrices are badly scaled (focal ~1e3, translations ~1e3-1e6),
+    and normal equations square the condition number, so rows and columns are
+    diagonally equilibrated first: P = Dr^{-1} P' Dc^{-1} with P' rows/cols
+    O(1), then P^+ = Dc^{-1} P'^+ Dr^{-1} ... (scalings applied as vectors).
+    """
+    # row equilibration
+    rn = jnp.linalg.norm(P, axis=-1, keepdims=True)  # (..., 3, 1)
+    Pr = P / rn
+    # column equilibration
+    cn = jnp.linalg.norm(Pr, axis=-2, keepdims=True)  # (..., 1, 4)
+    Pe = Pr / cn
+    PPt = Pe @ jnp.swapaxes(Pe, -1, -2)
+    pinv_e = jnp.swapaxes(Pe, -1, -2) @ inv3x3(PPt)  # (..., 4, 3)
+    # undo scaling: P = (Pe * cn) * rn (broadcast), so
+    # P^+ = (1/cn)^T-scaled rows of pinv_e, (1/rn)-scaled cols
+    return pinv_e / jnp.swapaxes(cn, -1, -2) / jnp.swapaxes(rn, -1, -2)
+
+
 def camera_center(KRT: jnp.ndarray) -> jnp.ndarray:
     """Center of projection C (world coords) of P=[A|b]: C = -A^{-1} b.
 
@@ -31,7 +84,7 @@ def camera_center(KRT: jnp.ndarray) -> jnp.ndarray:
     """
     A = KRT[..., :, :3]
     b = KRT[..., :, 3]
-    return -jnp.linalg.solve(A, b[..., None])[..., 0]
+    return -(inv3x3(A) @ b[..., None])[..., 0]
 
 
 def camera_center_h(KRT: jnp.ndarray) -> jnp.ndarray:
@@ -111,7 +164,7 @@ def fundamental_matrix(P1: jnp.ndarray, P2: jnp.ndarray) -> jnp.ndarray:
     Returns:
         (..., 3, 3) with x2^T F x1 = 0.
     """
-    P1inv = jnp.linalg.pinv(P1)
+    P1inv = pinv34(P1)
     P2P1inv = P2 @ P1inv
     C = camera_center_h(P1)
     e2 = (P2 @ C[..., None])[..., 0]

@@ -35,8 +35,11 @@ def epe_mean(
     err = jnp.sqrt(jnp.sum((out - target) ** 2, axis=-1))
     scale = jnp.asarray(keypoint_scale)
     if scale.ndim >= 1:
-        scale = scale[..., None]
-    err = err * scale * unit
+        scale = scale[..., None]  # broadcast per-sample scale over joints
+    unit_arr = jnp.asarray(unit)
+    if unit_arr.ndim >= 1:
+        unit_arr = unit_arr[..., None]
+    err = err * scale * unit_arr
     err = jnp.minimum(err, max_dist)
     perjoint = err
     if keypoint_vis is not None:

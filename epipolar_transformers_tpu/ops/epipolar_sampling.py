@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geometry.camera import camera_center_h, coord2pix, normalize_pixel, pix2coord
+from ..geometry.camera import camera_center_h, coord2pix, normalize_pixel, pix2coord, pinv34
 
 EPSILON = 0.001  # reference epipolar.py:20
 
@@ -89,7 +89,8 @@ def epipolar_sample_locs(
     grid = grid.astype(P1.dtype)
 
     # Epipolar line: l2 = e2 x (P2 P1^+ x1)   (reference epipolar.py:334-352)
-    P1inv = jnp.linalg.pinv(P1)
+    # closed-form right pseudo-inverse (no SVD — see geometry.camera.inv3x3)
+    P1inv = pinv34(P1)
     X = P1inv @ grid  # (4, HW)
     x2 = P2 @ X  # (3, HW)
     x2 = x2 / x2[2:3, :]
