@@ -28,7 +28,7 @@ from ..data.pipeline import make_data_loader
 from ..models import ModelBuilder
 from ..parallel.mesh import make_mesh, shard_batch
 from ..utils.checkpoint import Checkpointer
-from ..utils.metric_logger import MetricLogger
+from ..utils.metric_logger import MetricLogger, TensorboardWriter
 from .solver import make_optimizer
 
 logger = logging.getLogger(__name__)
@@ -114,6 +114,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None)
 
     train_step = make_train_step(cfg)
     meters = MetricLogger()
+    tb = TensorboardWriter(cfg.OUTPUT_DIR, enabled=cfg.TENSORBOARD.USE)
     step = 0
     t_data, t_step = 0.0, 0.0
 
@@ -131,6 +132,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None)
             if step % cfg.LOG_FREQ == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 meters.update(**metrics)
+                tb.write(metrics, step, tag="train")
                 logger.info(
                     "epoch %d step %d  %s  data_t %.3f step_t %.3f",
                     epoch, step, meters, t_data / step, t_step / step,

@@ -59,7 +59,10 @@ def _iter_locs(sample_locs, pooling):
 
 
 def _pooled_sample(quad, locs_pair, pooling, H, W):
-    # one row-gather per sample via the quad-corner layout (quad_gather.py)
+    # one row-gather per sample via the quad-corner layout (quad_gather.py).
+    # NOTE: the two-x512B pair-gather variant benches faster in isolation but
+    # SLOWER inside this fused scan (96ms vs 65ms, PERF.md) — XLA's gather
+    # lowering is context-dependent; keep the quad here.
     v = quad_sample_normalized(quad, locs_pair[0], H, W)
     if pooling:
         v = jnp.maximum(v, quad_sample_normalized(quad, locs_pair[1], H, W))

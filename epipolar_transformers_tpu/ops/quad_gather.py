@@ -79,6 +79,62 @@ def quad_sample(
     return out.astype(quad.dtype)
 
 
+def build_pair(image: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> ((H+1)*W, 2C) x-adjacent corner pairs.
+
+    pair[y*W + x] = concat(f[y, x], f[y, x+1]); row block y == H is zeros so
+    the bottom-row gather at (y0+1) needs no clipping.  In bf16 with C=256 a
+    row is exactly 512B — the empirically fastest XLA row-gather granularity
+    (PERF.md) — so bilinear = 2 gathers instead of the quad layout's 1 wide
+    (slow) or the naive 4 narrow ones.
+    """
+    H, W, C = image.shape
+    padded = jnp.pad(image, ((0, 1), (0, 1), (0, 0)))  # (H+1, W+1, C)
+    f0 = padded[:, :W]
+    f1 = padded[:, 1 : W + 1]
+    return jnp.concatenate([f0, f1], axis=-1).reshape((H + 1) * W, 2 * C)
+
+
+def pair_sample(
+    pair: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    H: int,
+    W: int,
+) -> jnp.ndarray:
+    """Bilinear sample via two pair-row gathers (see build_pair).
+
+    Exact grid_sample_2d semantics (zero padding, align_corners pixel coords).
+    """
+    C2 = pair.shape[-1]
+    C = C2 // 2
+    xb, wx0, wx1 = _axis_slot_weights(x, W)
+    yb, wy0, wy1 = _axis_slot_weights(y, H)
+    base = yb * W + xb
+    top = jnp.take(pair, base, axis=0)  # (..., 2C)
+    bot = jnp.take(pair, base + W, axis=0)
+    shape = top.shape[:-1] + (2, C)
+    top = top.reshape(shape)
+    bot = bot.reshape(shape)
+    wx = jnp.stack([wx0, wx1], axis=-1)[..., None].astype(jnp.float32)
+    out = (
+        wy0[..., None].astype(jnp.float32) * jnp.sum(top.astype(jnp.float32) * wx, axis=-2)
+        + wy1[..., None].astype(jnp.float32) * jnp.sum(bot.astype(jnp.float32) * wx, axis=-2)
+    )
+    return out.astype(pair.dtype)
+
+
+def pair_sample_normalized(pair, grid, H, W, align_corners: bool = True):
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        x = (gx + 1.0) / 2.0 * (W - 1)
+        y = (gy + 1.0) / 2.0 * (H - 1)
+    else:
+        x = ((gx + 1.0) * W - 1.0) / 2.0
+        y = ((gy + 1.0) * H - 1.0) / 2.0
+    return pair_sample(pair, x, y, H, W)
+
+
 def quad_sample_normalized(quad, grid, H, W, align_corners: bool = True):
     """Sample at normalized (-1, 1) grid (x, y) — grid_sample_2d drop-in."""
     gx, gy = grid[..., 0], grid[..., 1]

@@ -63,3 +63,31 @@ class MetricLogger:
 def prefix_dict(d: dict, prefix: str) -> dict:
     """reference utils/misc.py:11-12."""
     return {f"{prefix}/{k}": v for k, v in d.items()}
+
+
+class TensorboardWriter:
+    """Scalar writer with the reference's train//test tag convention
+    (reference utils/metric_logger.py:52-60, tensorboardX)."""
+
+    def __init__(self, log_dir: str, enabled: bool = True):
+        self.writer = None
+        if enabled and log_dir:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(log_dir)
+            except ImportError:
+                pass
+
+    def write(self, metrics: dict, step: int, tag: str = "train"):
+        if self.writer is None:
+            return
+        for k, v in metrics.items():
+            try:
+                self.writer.add_scalar(f"{tag}/{k}", float(v), step)
+            except (TypeError, ValueError):
+                continue
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
