@@ -288,6 +288,9 @@ class Config(_Node):
     # TPU-specific additions (no reference equivalent).
     DTYPE: str = "float32"  # compute dtype for the backbone: float32|bfloat16
     MESH_AXIS: str = "data"
+    # numerical sanitizers (the reference left torch detect_anomaly commented,
+    # main.py:22; JAX exposes these as global debug flags)
+    DEBUG_NANS: bool = False
 
     @property
     def is_h36m(self) -> bool:

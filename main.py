@@ -48,6 +48,10 @@ def main(argv=None):
 
     import jax
 
+    if cfg.DEBUG_NANS:
+        # numerical sanitizer (reference kept torch detect_anomaly commented)
+        jax.config.update("jax_debug_nans", True)
+
     logger.info("devices: %s", jax.devices())
     logger.info("task=%s backbone=%s", cfg.DATASETS.TASK, cfg.BACKBONE.BODY)
 
