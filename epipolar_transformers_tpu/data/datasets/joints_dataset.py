@@ -160,7 +160,8 @@ class JointsDataset:
 
         normed = joints_3d_camera - joints_3d_camera[0]
         keypoint_scale = np.linalg.norm(normed[8] - normed[0])
-        normed = normed / keypoint_scale
+        # guard degenerate records (MPII has no real 3D; scale would be 0)
+        normed = normed / max(keypoint_scale, 1e-8)
 
         camera = db_rec["camera"]
         R = np.asarray(camera["R"], dtype=np.float64)

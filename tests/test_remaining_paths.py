@@ -1,0 +1,133 @@
+"""Remaining config-switched paths: MULTITEST eval, Hourglass warped
+heatmaps, MPII dataset loading, OTHER_ONLY fusion."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from epipolar_transformers_tpu.config import Config, update_from_dict
+from epipolar_transformers_tpu.models import ModelBuilder
+from epipolar_transformers_tpu.models.hourglass import HourglassNet
+from tests.conftest import make_camera_ring
+
+
+def _mv_cfg(**epi):
+    d = {
+        "DATASETS": {"TASK": "multiview_keypoint", "IMAGE_SIZE": (64, 64),
+                     "IMAGE_RESIZE": 1.0, "PREDICT_RESIZE": 1.0},
+        "BACKBONE": {"ENABLED": True, "BODY": "epipolarposeR-18", "DOWNSAMPLE": 4,
+                     "PRETRAINED": False},
+        "KEYPOINT": {"ENABLED": True, "NUM_PTS": 5, "HEATMAP_SIZE": (16, 16),
+                     "SIGMA": 2.0, "NFEATS": 256, "LOSS": "joint",
+                     "LOSS_PER_JOINT": False},
+        "EPIPOLAR": {"SAMPLESIZE": 8, "MERGE": "late", "ATTENTION": "avg",
+                     "SIMILARITY": "dot", "PARAMETERIZED": ("z",),
+                     "ZRESIDUAL": True, "SHARE_WEIGHTS": True,
+                     "USE_CORRECT_NORMALIZE": True, "PRETRAINED": False, **epi},
+    }
+    return update_from_dict(Config(), d)
+
+
+def _group_inputs(camera_ring, rng, n_views=3, batch=2):
+    img = jnp.asarray(rng.rand(batch, 64, 64, 3).astype(np.float32))
+    other_imgs = jnp.asarray(rng.rand(n_views, batch, 64, 64, 3).astype(np.float32))
+    KRT = jnp.asarray(np.stack([camera_ring["KRT"][0]] * batch).astype(np.float32))
+    other_KRTs = jnp.asarray(
+        np.stack([np.stack([camera_ring["KRT"][v + 1]] * batch) for v in range(n_views)]
+                 ).astype(np.float32))
+    return img, other_imgs, KRT, other_KRTs
+
+
+def test_multitest_eval(camera_ring, rng):
+    """MULTITEST loops candidate views and keeps per-joint max-conf locs."""
+    cfg = _mv_cfg(MULTITEST=True)
+    model = ModelBuilder(cfg)
+    img, other_imgs, KRT, other_KRTs = _group_inputs(camera_ring, rng)
+    inputs = {"img": img, "other_img": other_imgs, "KRT": KRT,
+              "other_KRT": other_KRTs}
+    variables = model.init(jax.random.PRNGKey(0), inputs, is_train=False)
+    _, _, out = model.apply(variables, inputs, is_train=False)
+    assert out["batch_locs"].shape == (2, 5, 2)
+    assert out["score_pred"].shape == (2, 5)
+    assert np.isfinite(np.asarray(out["batch_locs"])).all()
+
+
+def test_hourglass_warped_heatmap(camera_ring, rng):
+    cfg = update_from_dict(
+        _mv_cfg(WARPEDHEATMAP=True, PARAMETERIZED=()),
+        {"BACKBONE": {"BODY": "epipolarHG11"}, "KEYPOINT": {"NFEATS": 64}},
+    )
+    model = HourglassNet(cfg)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    other = [jnp.asarray(rng.randn(2, 16, 16, 64).astype(np.float32))]
+    other_hm = jnp.asarray(rng.rand(2, 16, 16, 5).astype(np.float32))
+    KRT = jnp.asarray(np.stack([camera_ring["KRT"][0]] * 2).astype(np.float32))
+    oKRT = jnp.asarray(np.stack([camera_ring["KRT"][1]] * 2).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, other_features=other,
+                           KRT=KRT, other_KRT=oKRT, other_heatmaps=other_hm,
+                           train=False)
+    out = model.apply(variables, x, other_features=other, KRT=KRT,
+                      other_KRT=oKRT, other_heatmaps=other_hm, train=False)
+    assert out.warped_heatmap is not None
+    assert out.warped_heatmap.shape == (2, 16, 16, 5)
+    assert np.isfinite(np.asarray(out.warped_heatmap)).all()
+
+
+def test_other_only_fusion(camera_ring, rng):
+    """EPIPOLAR.OTHER_ONLY replaces instead of adds (ProHG.py:237-239)."""
+    cfg = update_from_dict(
+        _mv_cfg(OTHER_ONLY=True, PARAMETERIZED=()),
+        {"BACKBONE": {"BODY": "epipolarHG11"}, "KEYPOINT": {"NFEATS": 64}},
+    )
+    model = HourglassNet(cfg)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    other = [jnp.asarray(rng.randn(1, 16, 16, 64).astype(np.float32))]
+    KRT = jnp.asarray(np.stack([camera_ring["KRT"][0]]).astype(np.float32))
+    oKRT = jnp.asarray(np.stack([camera_ring["KRT"][1]]).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, other_features=other,
+                           KRT=KRT, other_KRT=oKRT, train=False)
+    out = model.apply(variables, x, other_features=other, KRT=KRT,
+                      other_KRT=oKRT, train=False)
+    assert out.heatmaps[-1].shape == (1, 16, 16, 5)
+
+
+def test_mpii_dataset(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    img_dir = tmp_path / "mpii" / "images"
+    ann_dir = tmp_path / "mpii" / "annot"
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    anno = []
+    for i in range(4):
+        name = f"{i:05d}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    (rng.rand(1002, 1000, 3) * 255).astype(np.uint8))
+        anno.append({
+            "image": name,
+            "center": [500.0, 480.0],
+            "scale": 3.0,
+            "joints": (rng.rand(16, 2) * 800 + 100).tolist(),
+            "joints_vis": [1] * 16,
+        })
+    with open(ann_dir / "train.json", "w") as f:
+        json.dump(anno, f)
+
+    from epipolar_transformers_tpu.data.datasets.mpii import MPIIDataset
+
+    d = {
+        "DATASETS": {"TASK": "keypoint", "IMAGE_SIZE": (64, 64), "DATA_FORMAT": "jpg"},
+        "BACKBONE": {"DOWNSAMPLE": 4},
+        "KEYPOINT": {"NUM_PTS": 20, "HEATMAP_SIZE": (16, 16), "SIGMA": 2.0},
+    }
+    cfg = update_from_dict(Config(), d)
+    ds = MPIIDataset(cfg, str(tmp_path), "train", is_train=False)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["img"].shape == (64, 64, 3)
+    assert item["heatmap"].shape == (16, 16, 20)
+    # union mapping: thorax/upper-neck/head-top joints map, others starred
+    assert item["points-2d"].shape == (20, 2)
