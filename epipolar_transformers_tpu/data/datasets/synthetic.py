@@ -83,8 +83,19 @@ class SyntheticMultiview:
         self._hm_grid = make_heatmap_grid(self.hm_size, self.downsample, self.sigma)
         # image-splat grid at full res, sigma 6
         self._img_grid = make_heatmap_grid(self.image_size, 1, 6.0)
-        rng = np.random.RandomState(12345)
-        self._joint_colors = 0.25 + 0.75 * rng.rand(self.num_joints, 3)
+        # maximally distinct per-joint colors (evenly spaced hues) so joint
+        # identity is unambiguous — random colors collide and cap JDR
+        hues = np.linspace(0.0, 1.0, self.num_joints, endpoint=False)
+        self._joint_colors = np.stack(
+            [self._hsv_to_rgb(h, 0.9, 1.0) for h in hues]
+        ).astype(np.float32)
+
+    @staticmethod
+    def _hsv_to_rgb(h, s, v):
+        i = int(h * 6) % 6
+        f = h * 6 - int(h * 6)
+        p, q, t = v * (1 - s), v * (1 - f * s), v * (1 - (1 - f) * s)
+        return [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)][i]
 
     def __len__(self):
         return self.n_samples

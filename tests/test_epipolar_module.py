@@ -40,7 +40,9 @@ def _inputs(camera_ring, N=2, C=8, H=16, W=16, seed=0):
 def test_zresidual_init_returns_attention_output(camera_ring):
     """At init, z-conv + zero-init BN output 0, so finalout == raw attention
     output under ZRESIDUAL (and exactly 0 without it)."""
-    cfg = _cfg()
+    # SAVE_PRED makes eval materialize the full depth stack (the module
+    # otherwise returns a placeholder — see Epipolar need_depth gate)
+    cfg = update_from_dict(_cfg(), {"VIS": {"SAVE_PRED": True}})
     model = Epipolar(cfg)
     feat1, feat2, P1, P2 = _inputs(camera_ring)
     variables = model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2, train=False)
