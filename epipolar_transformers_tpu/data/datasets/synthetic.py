@@ -82,7 +82,7 @@ class SyntheticMultiview:
         # precompute heatmap grid (image coords / sigma')
         self._hm_grid = make_heatmap_grid(self.hm_size, self.downsample, self.sigma)
         # image-splat grid at full res, sigma 6
-        self._img_grid = make_heatmap_grid(self.image_size, 1, 6.0)
+        self._img_grid = make_heatmap_grid(self.image_size, 1, 3.0)
         # maximally distinct per-joint colors (evenly spaced hues) so joint
         # identity is unambiguous — random colors collide and cap JDR
         hues = np.linspace(0.0, 1.0, self.num_joints, endpoint=False)
@@ -125,7 +125,7 @@ class SyntheticMultiview:
         return np.exp(-np.clip(dist, 0, clip)).astype(np.float32)
 
     def _render_image(self, pts2d: np.ndarray) -> np.ndarray:
-        maps = self._gauss_maps(self._img_grid, 6.0, pts2d)  # (J, H, W)
+        maps = self._gauss_maps(self._img_grid, 3.0, pts2d)  # (J, H, W)
         img = np.einsum("jhw,jc->hwc", maps, self._joint_colors).astype(np.float32)
         return np.clip(img, 0.0, 1.0)
 
@@ -147,8 +147,10 @@ class SyntheticMultiview:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         X = self._skeleton(idx)
         if self.is_train:
-            rng = np.random.RandomState(self.seed * 7919 + idx)
-            ref = int(rng.randint(self.n_views))
+            # global RNG on purpose: a fresh ref view each epoch (the
+            # reference also re-draws per visit, multiview_h36m.py:140-143);
+            # idx-seeded choice would train each skeleton from ONE view only
+            ref = int(np.random.randint(self.n_views))
             other = self.nearest[ref]
             item = self._view_dict(ref, X)
             other_item = self._view_dict(other, X)
