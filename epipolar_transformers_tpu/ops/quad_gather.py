@@ -79,6 +79,50 @@ def quad_sample(
     return out.astype(quad.dtype)
 
 
+def build_corner_tables(image: jnp.ndarray):
+    """(H, W, C) -> four (H*W, C) corner tables (f00, f01, f10, f11).
+
+    f01/f10/f11 are the x+1 / y+1 / both-shifted copies with zero padding at
+    the high edges.  Bilinear sampling then becomes four NARROW row gathers
+    (512B rows in bf16 C=256) + explicit FMAs — measured 3.5x faster than any
+    single-wide-row or einsum formulation on TPU (PERF.md sweep)."""
+    H, W, C = image.shape
+    padded = jnp.pad(image, ((0, 1), (0, 1), (0, 0)))
+    f00 = padded[:H, :W].reshape(H * W, C)
+    f01 = padded[:H, 1 : W + 1].reshape(H * W, C)
+    f10 = padded[1 : H + 1, :W].reshape(H * W, C)
+    f11 = padded[1 : H + 1, 1 : W + 1].reshape(H * W, C)
+    return f00, f01, f10, f11
+
+
+def corner_data_normalized(grid, H: int, W: int, align_corners: bool = True):
+    """Normalized (-1,1) sample grid (..., 2) -> (base flat index (...,),
+    slot weights (..., 4)) for corner-table sampling (validity-masked,
+    exact grid_sample zero-padding semantics)."""
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        x = (gx + 1.0) / 2.0 * (W - 1)
+        y = (gy + 1.0) / 2.0 * (H - 1)
+    else:
+        x = ((gx + 1.0) * W - 1.0) / 2.0
+        y = ((gy + 1.0) * H - 1.0) / 2.0
+    xb, wx0, wx1 = _axis_slot_weights(x, W)
+    yb, wy0, wy1 = _axis_slot_weights(y, H)
+    q = yb * W + xb
+    w = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+    return q, w.astype(jnp.float32)
+
+
+def corner_sample(tables, q, w):
+    """Four-narrow-takes bilinear sample: tables from build_corner_tables,
+    q (...,) flat base indices, w (..., 4) slot weights -> (..., C) f32."""
+    v = None
+    for si, t in enumerate(tables):
+        term = jnp.take(t, q, axis=0).astype(jnp.float32) * w[..., si, None]
+        v = term if v is None else v + term
+    return v
+
+
 def build_pair(image: jnp.ndarray) -> jnp.ndarray:
     """(H, W, C) -> ((H+1)*W, 2C) x-adjacent corner pairs.
 
