@@ -93,7 +93,12 @@ def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None)
             EVAL_FREQ epochs (reference trainer.py:139-141).
     """
     mesh = mesh or make_mesh()
-    loader = make_data_loader(cfg, is_train=True)
+    # multi-host: each process loads its shard of the data (SURVEY §2.7 —
+    # per-host input sharding over DCN; single-process => identity)
+    loader = make_data_loader(
+        cfg, is_train=True,
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
+    )
     steps_per_epoch = max(len(loader), 1)
 
     rng = jax.random.PRNGKey(cfg.SEED)

@@ -21,6 +21,8 @@ def parse_args(argv=None):
                         help="cap total train steps (smoke runs)")
     parser.add_argument("--max-eval-batches", type=int, default=None,
                         help="cap eval batches (smoke runs)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed for multi-host pods")
     parser.add_argument("opts", nargs=argparse.REMAINDER,
                         help="KEY VALUE config override pairs")
     return parser.parse_args(argv)
@@ -47,6 +49,11 @@ def main(argv=None):
     np.random.seed(cfg.SEED)
 
     import jax
+
+    if args.multihost:
+        # multi-host pods: coordinator/process info from the TPU environment
+        # (GSPMD then spans all hosts' devices; ICI intra-slice, DCN inter)
+        jax.distributed.initialize()
 
     if cfg.DEBUG_NANS:
         # numerical sanitizer (reference kept torch detect_anomaly commented)
