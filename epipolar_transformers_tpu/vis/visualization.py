@@ -78,7 +78,8 @@ def auc_curve(err_joints: np.ndarray, total_joints: np.ndarray,
     thresholds = np.linspace(0, max_threshold, num=int(max_threshold))
     acc = err_joints.sum(axis=0) / max(total_joints.sum(), 1)
     # trapezoidal AUC normalized by the threshold range
-    auc = np.trapz(acc, thresholds) / max_threshold
+    trapezoid = getattr(np, "trapezoid", np.trapz)
+    auc = trapezoid(acc, thresholds) / max_threshold
     return thresholds, acc, float(auc)
 
 
