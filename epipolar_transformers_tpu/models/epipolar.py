@@ -26,6 +26,10 @@ from flax import linen as nn
 
 from ..config import Config
 from ..ops.epipolar_attention import AttentionParams, epipolar_attention
+from ..ops.epipolar_attention_matmul import (
+    epipolar_attention_matmul,
+    supports_matmul_attention,
+)
 from ..ops.epipolar_attention_streaming import (
     epipolar_attention_streaming,
     reconstruct_depth,
@@ -36,10 +40,12 @@ from .layers import ZeroInitBatchNorm, compute_dtype
 
 class Epipolar(nn.Module):
     cfg: Config
-    # 'streaming': single-gather-pass online-softmax attention (default;
-    # ops/epipolar_attention_streaming.py).  'reference': the two-pass
-    # oracle implementation.
-    attention_impl: str = "streaming"
+    # 'auto' (default): the gather-free matmul formulation
+    # (ops/epipolar_attention_matmul.py — MXU-only, no XLA gathers) whenever
+    # the config's semantics are linear in the source features (avg attention,
+    # dot/prior similarity, no pooling), else the streaming single-gather-pass
+    # online-softmax path.  'matmul' / 'streaming' / 'reference' force one.
+    attention_impl: str = "auto"
 
     def _shared_kv(self) -> bool:
         """True when keys and values are the same tensor — the flagship
@@ -171,7 +177,26 @@ class Epipolar(nn.Module):
         if e.PRIOR or e.SIMILARITY == "prior":
             prior = self.prior_table[camera, other_camera]  # (N, K', H, W)
 
-        if self.attention_impl == "streaming" and e.SIMILARITY != "prior":
+        if (
+            self.attention_impl in ("auto", "matmul")
+            and supports_matmul_attention(params)
+        ):
+            # gather-free path: depth (the full weight stack) comes free
+            if prior is None:
+                out, corr_pos, depth = jax.vmap(
+                    lambda q, o1, o2, s: epipolar_attention_matmul(
+                        q, o1, o2, s, params
+                    )
+                )(query, other1, other2, sample_locs)
+            else:
+                out, corr_pos, depth = jax.vmap(
+                    lambda q, o1, o2, s, p: epipolar_attention_matmul(
+                        q, o1, o2, s, params, p
+                    )
+                )(query, other1, other2, sample_locs, prior)
+        elif (
+            self.attention_impl in ("auto", "streaming") and e.SIMILARITY != "prior"
+        ):
             shared = self._shared_kv()
             # the full (K', H, W) weight stack is only materialized when a
             # consumer actually reads it (reprojection loss, warped heatmaps,

@@ -1,0 +1,128 @@
+"""Gather-free matmul attention == two-pass oracle implementation."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from epipolar_transformers_tpu.ops.epipolar_attention import (
+    AttentionParams,
+    epipolar_attention,
+)
+from epipolar_transformers_tpu.ops.epipolar_attention_matmul import (
+    epipolar_attention_matmul,
+    supports_matmul_attention,
+)
+
+
+def _case(rng, K=8, H=6, W=5, C=4):
+    feat1 = rng.randn(H, W, C).astype(np.float32)
+    other1 = rng.randn(H, W, C).astype(np.float32)
+    other2 = rng.randn(H, W, C).astype(np.float32)
+    locs = (rng.rand(K, H, W, 2).astype(np.float32) * 2.6 - 1.3)
+    return (jnp.asarray(feat1), jnp.asarray(other1), jnp.asarray(other2),
+            jnp.asarray(locs))
+
+
+CASES = [
+    dict(attention="avg", similarity="dot"),
+    dict(attention="avg", similarity="dot", softmax_enabled=False),
+]
+
+
+@pytest.mark.parametrize("kw", CASES)
+@pytest.mark.parametrize("q_chunk", [512, 7])
+def test_matmul_matches_oracle(rng, kw, q_chunk):
+    f1, o1, o2, locs = _case(rng)
+    params = AttentionParams(softmax_scale=1 / np.sqrt(8), **kw)
+    assert supports_matmul_attention(params)
+    ref_out, ref_corr, ref_depth = epipolar_attention(f1, o1, o2, locs, params)
+    out, corr, depth = epipolar_attention_matmul(f1, o1, o2, locs, params,
+                                                 q_chunk=q_chunk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(corr), np.asarray(ref_corr),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_matmul_with_priors(rng):
+    f1, o1, o2, locs = _case(rng)
+    prior = jnp.asarray(rng.rand(8, 6, 5).astype(np.float32) * 0.1)
+    for priormul in (False, True):
+        params = AttentionParams(attention="avg", similarity="dot",
+                                 softmax_scale=1 / np.sqrt(8), priormul=priormul)
+        ref = epipolar_attention(f1, o1, o2, locs, params, prior)
+        got = epipolar_attention_matmul(f1, o1, o2, locs, params, prior)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"priormul={priormul}")
+
+
+def test_matmul_prior_similarity(rng):
+    """similarity='prior': weights are the prior itself (epipolar.py:288-293)."""
+    f1, o1, o2, locs = _case(rng)
+    prior = jnp.asarray(rng.rand(8, 6, 5).astype(np.float32) * 0.1)
+    params = AttentionParams(attention="avg", similarity="prior",
+                             softmax_scale=1 / np.sqrt(8))
+    ref = epipolar_attention(f1, o1, o2, locs, params, prior)
+    got = epipolar_attention_matmul(f1, o1, o2, locs, params, prior)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_matmul_all_out_of_range(rng):
+    """Lines missing the rectangle: sim == 0 sentinel -> masked softmax ->
+    uniform weights over zero values -> exact-zero output (reference
+    zero-padding semantics, epipolar.py:298)."""
+    f1, o1, o2, _ = _case(rng)
+    locs = jnp.full((8, 6, 5, 2), -9.0)
+    params = AttentionParams(attention="avg", similarity="dot",
+                             softmax_scale=1 / np.sqrt(8))
+    out, _, _ = epipolar_attention_matmul(f1, o1, o2, locs, params)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_matmul_real_geometry_locs(rng, camera_ring):
+    """Parity on sample locations produced by the actual epipolar geometry
+    (two synthetic cameras), including partially-clipped lines."""
+    from epipolar_transformers_tpu.ops.epipolar_sampling import (
+        EpipolarGeometry, epipolar_sample_locs,
+    )
+
+    H = W = 16
+    P1 = jnp.asarray(camera_ring["KRT"][0])
+    P2 = jnp.asarray(camera_ring["KRT"][1])
+    geom = EpipolarGeometry(feat_h=H, feat_w=W, sample_size=16, downsample=4,
+                            resize=1.0, correct_normalize=True)
+    locs = epipolar_sample_locs(P1, P2, geom).astype(jnp.float32)
+    f1 = jnp.asarray(rng.randn(H, W, 8).astype(np.float32))
+    o1 = jnp.asarray(rng.randn(H, W, 8).astype(np.float32))
+    params = AttentionParams(attention="avg", similarity="dot",
+                             softmax_scale=0.25)
+    ref = epipolar_attention(f1, o1, o1, locs, params)
+    got = epipolar_attention_matmul(f1, o1, o1, locs, params)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_matmul_gradients_match(rng):
+    f1, o1, o2, locs = _case(rng)
+    params = AttentionParams(attention="avg", similarity="dot",
+                             softmax_scale=1 / np.sqrt(8))
+
+    def loss(fn, *args):
+        out, _, _ = fn(*args, locs, params)
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(lambda a, b, c: loss(epipolar_attention, a, b, c),
+                     argnums=(0, 1, 2))(f1, o1, o2)
+    g_mat = jax.grad(lambda a, b, c: loss(epipolar_attention_matmul, a, b, c),
+                     argnums=(0, 1, 2))(f1, o1, o2)
+    for a, b in zip(g_ref, g_mat):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3,
+                                   atol=1e-4)
