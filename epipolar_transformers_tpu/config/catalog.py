@@ -19,25 +19,25 @@ class DatasetCatalog:
         # H36M multiview groups (reference: core/paths_catalog.py:28-43)
         "multiview_h36m_train": {
             "factory": "MultiViewH36M",
-            "root": "h36m/images",
+            "root": "",  # image path is <root>/<source>/images/<name>
             "anno": "h36m/annot/h36m_train.pkl",
             "is_train": True,
         },
         "multiview_h36m_val": {
             "factory": "MultiViewH36M",
-            "root": "h36m/images",
+            "root": "",  # image path is <root>/<source>/images/<name>
             "anno": "h36m/annot/h36m_validation.pkl",
             "is_train": False,
         },
         "h36m_train": {
             "factory": "H36MDataset",
-            "root": "h36m/images",
+            "root": "",  # image path is <root>/<source>/images/<name>
             "anno": "h36m/annot/h36m_train.pkl",
             "is_train": True,
         },
         "h36m_val": {
             "factory": "H36MDataset",
-            "root": "h36m/images",
+            "root": "",  # image path is <root>/<source>/images/<name>
             "anno": "h36m/annot/h36m_validation.pkl",
             "is_train": False,
         },
@@ -54,6 +54,32 @@ class DatasetCatalog:
             "set": "evaluation",
             "is_train": False,
         },
+        # MPII 2D pose + pseudo-multiview + H36M-mixed variants (reference
+        # data/datasets/mpii.py, multiview_mpii.py, mixed_dataset.py)
+        "mpii_train": {
+            "factory": "MPIIDataset",
+            "root": "",
+            "set": "train",
+            "is_train": True,
+        },
+        "mpii_val": {
+            "factory": "MPIIDataset",
+            "root": "",
+            "set": "valid",
+            "is_train": False,
+        },
+        "multiview_mpii_train": {
+            "factory": "MultiviewMPIIDataset",
+            "root": "",
+            "set": "train",
+            "is_train": True,
+        },
+        "mixed_h36m_mpii_train": {
+            "factory": "MixedDataset",
+            "h36m": "multiview_h36m_train",
+            "mpii": "multiview_mpii_train",
+            "is_train": True,
+        },
         # Synthetic rigs for tests/benchmarks (no reference equivalent — the
         # licensed H36M images are not shipped; this rig exercises the same
         # code paths with analytically known geometry).
@@ -61,8 +87,13 @@ class DatasetCatalog:
         "synthetic_multiview_val": {"factory": "SyntheticMultiview", "is_train": False},
     }
 
+    # the reference's YAMLs spell these with different case
+    # (core/paths_catalog.py:40-45: 'RHD_train'/'RHD_val')
+    ALIASES = {"RHD_train": "rhd_train", "RHD_val": "rhd_val"}
+
     @classmethod
     def get(cls, name: str) -> dict:
+        name = cls.ALIASES.get(name, name)
         if name not in cls.DATASETS:
             raise KeyError(f"Unknown dataset: {name!r}")
         entry = dict(cls.DATASETS[name])

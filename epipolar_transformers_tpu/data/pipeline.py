@@ -26,6 +26,26 @@ def collate(items) -> Dict[str, np.ndarray]:
     return out
 
 
+class ConcatDataset:
+    """Concatenation of datasets for multi-dataset training (reference
+    data/build.py:59-63 uses torch's ConcatDataset)."""
+
+    def __init__(self, datasets):
+        assert datasets, "ConcatDataset needs at least one dataset"
+        self.datasets = list(datasets)
+        self.cum = np.cumsum([len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self.cum[-1])
+
+    def __getitem__(self, idx: int):
+        if idx < 0:
+            idx += len(self)
+        ds = int(np.searchsorted(self.cum, idx, side="right"))
+        prev = 0 if ds == 0 else int(self.cum[ds - 1])
+        return self.datasets[ds][idx - prev]
+
+
 class DataLoader:
     """Minimal deterministic loader: shuffle per epoch, fixed batch size,
     drop_last for static shapes (XLA requires them), optional thread
@@ -41,6 +61,7 @@ class DataLoader:
         prefetch: int = 2,
         shard_id: int = 0,
         num_shards: int = 1,
+        num_iterations: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -50,9 +71,12 @@ class DataLoader:
         self.prefetch = prefetch
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.num_iterations = num_iterations
         self.epoch = 0
 
     def __len__(self):
+        if self.num_iterations is not None:
+            return self.num_iterations
         n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
@@ -65,21 +89,42 @@ class DataLoader:
             rng.shuffle(idx)
         return idx[self.shard_id :: self.num_shards]
 
-    def _producer(self, q: queue.Queue):
+    def _batch_indices(self) -> Iterator[np.ndarray]:
+        """Yield per-batch index arrays.
+
+        Epoch mode: one pass over the (sharded, shuffled) dataset.  Iteration
+        mode (num_iterations set): an epoch-free IterationBasedBatchSampler
+        stream sliced to this shard (reference data/samplers/
+        iteration_based_batch_sampler.py:4-30, scaffolding there; live here).
+        """
+        if self.num_iterations is not None:
+            from .samplers import IterationBasedBatchSampler
+
+            sampler = IterationBasedBatchSampler(
+                dataset_size=len(self.dataset),
+                batch_size=self.batch_size * self.num_shards,
+                num_iterations=self.num_iterations,
+                shuffle=self.shuffle,
+                seed=self.seed,
+            )
+            for batch in sampler:
+                yield np.asarray(batch[self.shard_id :: self.num_shards])
+            return
         idx = self._indices()
-        nb = len(self)
-        for b in range(nb):
+        for b in range(len(self)):
             batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
             if self.drop_last and len(batch_idx) < self.batch_size:
-                break
+                return
+            yield batch_idx
+
+    def _producer(self, q: queue.Queue):
+        for batch_idx in self._batch_indices():
             q.put(collate([self.dataset[int(i)] for i in batch_idx]))
         q.put(None)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:
-            idx = self._indices()
-            for b in range(len(self)):
-                batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            for batch_idx in self._batch_indices():
                 yield collate([self.dataset[int(i)] for i in batch_idx])
             self.epoch += 1
             return
@@ -111,7 +156,7 @@ def build_dataset(cfg, name: str):
 
         return MultiViewH36M(cfg, entry["root"], entry["anno"], is_train=entry["is_train"])
     if factory == "H36MDataset":
-        from .datasets.h36m import H36MDataset
+        from .datasets.multiview_h36m import H36MDataset
 
         return H36MDataset(cfg, entry["root"], entry["anno"], is_train=entry["is_train"])
     if factory == "RHDDataset":
@@ -123,27 +168,47 @@ def build_dataset(cfg, name: str):
 
         return MPIIDataset(cfg, entry["root"], entry.get("set", "train"),
                            is_train=entry["is_train"])
+    if factory == "MultiviewMPIIDataset":
+        from .datasets.mpii import MultiviewMPIIDataset
+
+        return MultiviewMPIIDataset(cfg, entry["root"], entry.get("set", "train"),
+                                    is_train=entry["is_train"])
+    if factory == "MixedDataset":
+        from .datasets.mpii import MixedDataset
+
+        h36m = build_dataset(cfg, entry["h36m"])
+        mpii = build_dataset(cfg, entry["mpii"])
+        return MixedDataset(h36m, mpii)
     raise NotImplementedError(factory)
 
 
-def make_data_loader(cfg, is_train: bool, shard_id: int = 0, num_shards: int = 1):
-    """reference data/build.py:50-89: concat train datasets, one loader per
-    test dataset."""
+def make_data_loader(cfg, is_train: bool, shard_id: int = 0, num_shards: int = 1,
+                     num_iterations: Optional[int] = None):
+    """reference data/build.py:50-89: train datasets are concatenated into one
+    loader; test returns one loader per dataset.
+
+    Args:
+        num_iterations: when set (train only), yield exactly this many
+            epoch-free batches via IterationBasedBatchSampler.
+    """
     names = cfg.DATASETS.TRAIN if is_train else cfg.DATASETS.TEST
     batch = cfg.SOLVER.IMS_PER_BATCH if is_train else cfg.TEST.IMS_PER_BATCH
+    datasets = [build_dataset(cfg, n) for n in names]
+    if is_train and len(datasets) > 1:
+        datasets = [ConcatDataset(datasets)]
     loaders = [
         DataLoader(
-            build_dataset(cfg, n),
+            ds,
             batch_size=batch,
             shuffle=is_train,
             seed=cfg.SEED,
             drop_last=is_train,
             shard_id=shard_id,
             num_shards=num_shards,
+            num_iterations=num_iterations if is_train else None,
         )
-        for n in names
+        for ds in datasets
     ]
     if is_train:
-        assert len(loaders) == 1, "concat of multiple train datasets: round 2"
         return loaders[0]
     return loaders
