@@ -1,0 +1,195 @@
+"""Golden-activation parity against the REFERENCE implementation.
+
+Fixtures in tests/fixtures/ were generated ONCE by running the actual
+reference code (scripts/make_golden_fixtures.py runs /root/reference modules
+on fixed inputs — see that script for provenance).  Primary goldens pin the
+as-published behavior (torch<=1.3, align_corners=True); `*_acF` variants
+record the modern-torch rerun for documentation.
+
+Covers SURVEY §4's "parity tests against saved reference activations":
+  * F.grid_sample bilinear semantics incl. out-of-range zeros;
+  * the soft-argmax peak decode (basic_batch.py:17-63);
+  * the full Epipolar.forward chain (epipolar.py:82-269) — line geometry,
+    sampling, dot similarity, softmax(1/sqrt(K)), avg/max attention, the
+    legacy vs corrected (-1,1) normalization;
+  * PoseResNet-18 eval forward under an imported torch state dict
+    (resnet.py:364-437) — trunk, deconv head, final layer and decode.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _load(name):
+    path = os.path.join(FIXDIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} not generated")
+    return np.load(path, allow_pickle=False)
+
+
+# ------------------------------------------------------------- grid_sample
+def test_grid_sample_matches_torch_golden():
+    from epipolar_transformers_tpu.ops.grid_sample import grid_sample_2d
+
+    g = _load("grid_sample_golden.npz")
+    x, grid = g["x"], g["grid"]  # (2,3,9,11) NCHW, (2,5,7,2)
+    for ac in (True, False):
+        want = g[f"out_ac{int(ac)}"]  # (2,3,5,7)
+        for n in range(x.shape[0]):
+            img = jnp.asarray(x[n].transpose(1, 2, 0))  # HWC
+            out = grid_sample_2d(img, jnp.asarray(grid[n]), align_corners=ac)
+            np.testing.assert_allclose(
+                np.asarray(out), want[n].transpose(1, 2, 0),
+                rtol=1e-5, atol=1e-5,
+                err_msg=f"align_corners={ac}, sample {n}")
+
+
+# -------------------------------------------------------------- peak decode
+def test_peak_decode_matches_reference_golden():
+    from epipolar_transformers_tpu.ops.soft_argmax import find_tensor_peak_batch
+
+    g = _load("peak_decode_golden.npz")
+    locs, scos = find_tensor_peak_batch(
+        jnp.asarray(g["heatmap"]), float(g["sigma"]), int(g["downsample"]))
+    np.testing.assert_allclose(np.asarray(scos), g["scos"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(locs), g["locs"], rtol=1e-4, atol=2e-3)
+
+
+# ----------------------------------------------------------------- epipolar
+def _epipolar_cfg(attention, correct_normalize, samplesize, downsample):
+    from epipolar_transformers_tpu.config import Config, update_from_dict
+
+    d = {
+        "KEYPOINT": {"HEATMAP_SIZE": (16, 16), "NUM_PTS": 17},
+        "BACKBONE": {"DOWNSAMPLE": int(downsample)},
+        "DATASETS": {"IMAGE_RESIZE": 1.0, "PREDICT_RESIZE": 1.0},
+        "VIS": {"SAVE_PRED": True},  # materialize the full depth stack
+        "EPIPOLAR": {
+            "SAMPLESIZE": int(samplesize),
+            "ATTENTION": attention,
+            "SIMILARITY": "dot",
+            "MERGE": "late",
+            "PARAMETERIZED": (),
+            "ZRESIDUAL": False,
+            "USE_CORRECT_NORMALIZE": bool(correct_normalize),
+        },
+    }
+    return update_from_dict(Config(), d)
+
+
+@pytest.mark.parametrize("case,attention,correct", [
+    ("avg_dot_correct", "avg", True),
+    ("max_dot_correct", "max", True),
+    ("avg_dot_legacy", "avg", False),
+])
+def test_epipolar_forward_matches_reference_golden(case, attention, correct):
+    from epipolar_transformers_tpu.models.epipolar import Epipolar
+
+    g = _load("epipolar_golden.npz")
+    feat1 = jnp.asarray(g["feat1"].transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    feat2 = jnp.asarray(g["feat2"].transpose(0, 2, 3, 1))
+    P1, P2 = jnp.asarray(g["P1"]), jnp.asarray(g["P2"])
+
+    cfg = _epipolar_cfg(attention, correct, g["samplesize"], g["downsample"])
+    model = Epipolar(cfg)
+    variables = model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2,
+                           train=False)
+    out, corr_pos, depth, _ = model.apply(
+        variables, feat1, feat2, P1, P2, train=False)
+
+    # Tolerances: the two implementations compute the line geometry through
+    # different (equally valid) f32 paths — torch SVD pinverse vs our
+    # equilibrated closed-form pinv — which agree to ~0.05 feature px.  Any
+    # CONVENTION bug (half-pixel offset, x/y swap, wrong normalize, wrong
+    # downsample offset) shifts samples by >= half a pixel (0.067 normalized
+    # at W=16) and blows well past these bounds.
+    want_out = g[f"{case}__out"].transpose(0, 2, 3, 1)
+    got_out = np.asarray(out)
+    np.testing.assert_allclose(got_out, want_out, rtol=0, atol=0.03)
+    assert np.abs(got_out - want_out).mean() < 3e-3
+
+    want_depth = g[f"{case}__depth"]
+    got_depth = np.asarray(depth)
+    if got_depth.shape != want_depth.shape and got_depth.ndim == want_depth.ndim:
+        want_depth = want_depth.transpose(1, 0, 2, 3)
+    np.testing.assert_allclose(got_depth, want_depth, rtol=0, atol=0.03)
+    assert np.abs(got_depth - want_depth).mean() < 3e-3
+
+
+def test_epipolar_sample_locs_match_reference_golden():
+    """The raw line-sampling geometry vs the reference's grid2sample_locs
+    debug dump: same direction, same validity pattern, sub-half-pixel
+    agreement."""
+    from epipolar_transformers_tpu.models.epipolar import Epipolar
+    from epipolar_transformers_tpu.ops.epipolar_sampling import epipolar_sample_locs
+
+    g = _load("epipolar_golden.npz")
+    cfg = _epipolar_cfg("avg", True, g["samplesize"], g["downsample"])
+    geom = Epipolar(cfg).geometry
+    ours = np.asarray(epipolar_sample_locs(
+        jnp.asarray(g["P1"][0]), jnp.asarray(g["P2"][0]), geom))  # (K,H,W,2)
+    ref = g["avg_dot_correct__sample_locs"][:, 0]  # (K,H,W,2)
+
+    valid_ref = (np.abs(ref) < 2).all(-1)
+    valid_ours = (np.abs(ours) < 2).all(-1)
+    # validity pattern agrees except borderline corner lines
+    assert (valid_ref != valid_ours).mean() < 0.02
+    both = valid_ref & valid_ours
+    diff = np.abs(ours - ref)[both]
+    assert diff.mean() < 0.01, diff.mean()           # ~0.07 feat px
+    assert np.quantile(diff, 0.95) < 0.034           # < half-pixel (0.067)
+
+
+# -------------------------------------------------------------- poseresnet
+def _det_tensor():
+    """Import det_tensor from the generator script (shared weight recipe)."""
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "make_golden_fixtures.py")
+    spec = importlib.util.spec_from_file_location("make_golden_fixtures", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.det_tensor
+
+
+def test_poseresnet18_forward_matches_reference_golden():
+    """End-to-end: rebuild the reference's exact state dict from the key
+    manifest, import it through utils/torch_import, run our Flax PoseResNet
+    and match heatmaps + decoded peaks numerically."""
+    from epipolar_transformers_tpu.config import Config, update_from_dict
+    from epipolar_transformers_tpu.models import PoseResNet
+    from epipolar_transformers_tpu.utils.torch_import import load_into_variables
+
+    g = _load("poseresnet18_golden.npz")
+    det_tensor = _det_tensor()
+    sd = {}
+    for key, shape_s in zip(g["sd_keys"], g["sd_shapes"]):
+        shape = tuple(int(s) for s in str(shape_s).split("x")) if str(shape_s) else ()
+        sd[str(key)] = det_tensor(str(key), shape)
+
+    d = {
+        "BACKBONE": {"BODY": "poseR-18", "DOWNSAMPLE": 4},
+        "KEYPOINT": {"NUM_PTS": 5, "HEATMAP_SIZE": (16, 16), "SIGMA": 2.0},
+        "DATASETS": {"IMAGE_SIZE": (64, 64)},
+    }
+    cfg = update_from_dict(Config(), d)
+    model = PoseResNet(cfg)
+    x = jnp.asarray(g["x"].transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    variables, missing = load_into_variables(variables, sd)
+    assert missing == [], missing[:8]
+
+    out = model.apply(variables, x, train=False)
+    got_hm = np.asarray(out.heatmaps[-1])
+    want_hm = g["heatmap"].transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got_hm, want_hm, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.scores), g["batch_scos"],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.locs), g["batch_locs"],
+                               rtol=1e-3, atol=5e-3)
