@@ -151,6 +151,24 @@ class JointsDataset:
         db_rec = self.db[idx]
         needs_image = cfg.DATASETS.TASK not in ("lifting", "lifting_direct", "lifting_rot")
 
+        # DATALOADER.BENCHMARK: per-stage loader timing (reference
+        # joints_dataset.py:187,280-281 prints tic/toc; here stages
+        # accumulate into profiling.DATALOADER_STAGES)
+        if cfg.DATALOADER.BENCHMARK:
+            import time as _time
+
+            from ...utils.profiling import DATALOADER_STAGES as _stages
+
+            _t = [_time.perf_counter()]
+
+            def _mark(stage):
+                now = _time.perf_counter()
+                _stages.add(stage, now - _t[0])
+                _t[0] = now
+        else:
+            def _mark(stage):
+                return None
+
         joints = db_rec["joints_2d"].copy()
         joints_3d = db_rec["joints_3d"].copy()
         joints_3d_camera = db_rec["joints_3d_camera"].copy()
@@ -181,9 +199,12 @@ class JointsDataset:
 
         img = None
         if needs_image:
+            _mark("setup")
             img = self._read_image(db_rec)
+            _mark("read")
             if self.data_format != "undistoredzip":
                 img = cv2.undistort(img, K, dist)
+            _mark("undistort")
 
         joints = undistort_points(joints[:, :2], K, dist)
         center = undistort_points(center[None], K, dist)[0]
@@ -210,6 +231,7 @@ class JointsDataset:
                 img.astype(np.float32), trans,
                 (int(self.image_size[0]), int(self.image_size[1])),
             )
+            _mark("warp")
 
         for i in range(self.num_joints):
             if joints_vis[i, 0] > 0.0:
@@ -226,6 +248,7 @@ class JointsDataset:
         target = native.render_heatmaps(
             joints, tuple(self.heatmap_size), self.sigma, cfg.BACKBONE.DOWNSAMPLE
         )
+        _mark("heatmap")
 
         ret = {
             "heatmap": target.transpose(1, 2, 0),  # (h, w, J) NHWC

@@ -28,6 +28,7 @@ from ..data.pipeline import make_data_loader
 from ..models import ModelBuilder
 from ..parallel.mesh import make_mesh, shard_batch
 from ..utils.checkpoint import Checkpointer
+from ..utils.pretrained import apply_pretrained
 from ..utils.metric_logger import MetricLogger, TensorboardWriter
 from .solver import make_optimizer
 
@@ -50,7 +51,16 @@ def select_model_inputs(cfg: Config, batch: Dict[str, np.ndarray]) -> Dict[str, 
 
 def create_train_state(cfg: Config, rng, sample_inputs: Dict, steps_per_epoch: int = 1) -> TrainState:
     model = ModelBuilder(cfg)
-    variables = model.init(rng, sample_inputs, is_train=True)
+    # jit the init: one compiled program instead of per-op eager dispatch
+    # (critical over a device tunnel, where each op is a host round-trip)
+    variables = jax.jit(
+        lambda r: model.init(r, sample_inputs, is_train=True)
+    )(rng)
+    # construction-time pretrained init: single-view backbone from the
+    # BackboneCatalog + foreign-format cfg.WEIGHTS (reference
+    # modeling/model.py:37-54, utils/checkpoint.py:49-57); native .ckpt
+    # resume stays with the Checkpointer and takes precedence later.
+    variables = apply_pretrained(cfg, variables)
     tx = make_optimizer(cfg, steps_per_epoch)
     return TrainState.create(
         apply_fn=model.apply,
@@ -101,6 +111,26 @@ def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None)
     )
     steps_per_epoch = max(len(loader), 1)
 
+    if cfg.DATALOADER.BENCHMARK:
+        # loader-only benchmark: skip the model entirely and report data
+        # timing + per-stage __getitem__ breakdown (reference trainer.py:
+        # 22,71,83-95 + joints_dataset.py:187,280-281)
+        from ..utils.profiling import DATALOADER_STAGES
+
+        DATALOADER_STAGES.reset()
+        t0 = time.time()
+        n = 0
+        for batch in loader:
+            n += 1
+            if max_steps is not None and n >= max_steps:
+                break
+        total = time.time() - t0
+        logger.info(
+            "DATALOADER.BENCHMARK: %d batches in %.2fs (%.1f ms/batch)  stages: %s",
+            n, total, total / max(n, 1) * 1e3, DATALOADER_STAGES.report(),
+        )
+        return None
+
     rng = jax.random.PRNGKey(cfg.SEED)
     init_rng, dropout_rng = jax.random.split(rng)
 
@@ -111,7 +141,11 @@ def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None)
 
     checkpointer = Checkpointer(cfg.OUTPUT_DIR)
     start_epoch = 0
-    restored, extra = checkpointer.load(state, cfg.WEIGHTS or None)
+    # foreign-format WEIGHTS (.pth/.pickle) were already imported by
+    # apply_pretrained inside create_train_state; only a native .ckpt goes
+    # through the Checkpointer (whose last_checkpoint resume still wins).
+    native_weights = cfg.WEIGHTS if cfg.WEIGHTS.endswith(".ckpt") else None
+    restored, extra = checkpointer.load(state, native_weights)
     if restored is not None:
         state = restored
         start_epoch = int(extra.get("epoch", 0))
