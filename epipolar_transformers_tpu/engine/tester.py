@@ -170,6 +170,13 @@ def test(cfg: Config, state, max_batches: Optional[int] = None) -> Dict[str, flo
             locs = np.asarray(out["batch_locs"], dtype=np.float64)  # (V, J, 2)
             scores = np.asarray(out["score_pred"], dtype=np.float64)  # (V, J)
 
+            if cfg.VIS.VIDEO:
+                # per-view skeleton-overlay frame dump; assemble_video
+                # stitches them afterwards (reference tester.py:138-166)
+                from ..vis.visualization import dump_eval_frames
+
+                dump_eval_frames(cfg, group, locs, f"ds{loaders.index(loader)}", ib)
+
             metric_dict: Dict[str, float] = {}
             pred3d = None
             if cfg.KEYPOINT.TRIANGULATION and "points-3d" in group:

@@ -83,6 +83,152 @@ def auc_curve(err_joints: np.ndarray, total_joints: np.ndarray,
     return thresholds, acc, float(auc)
 
 
+def render_pose_frame(img_norm: np.ndarray, joints: np.ndarray,
+                      kind: str = "human36m",
+                      visibility: Optional[np.ndarray] = None) -> np.ndarray:
+    """Headless skeleton-overlay frame (uint8 BGR) for the eval video dump
+    (reference tester.py:138-166 draws with matplotlib; cv2 here).
+
+    Args:
+        img_norm: (H, W, 3) ImageNet-normalized float image (dataset 'img').
+        joints: (J, 2) predicted image-coord keypoints.
+        kind: CONNECTIVITY_DICT key, or 'hand' for the 21-joint bones.
+    """
+    import cv2
+
+    from ..data.transforms.affine import de_normalize_image
+    from .skeletons import CONNECTIVITY_DICT, HAND_BONES
+
+    img = np.clip(de_normalize_image(np.asarray(img_norm)) * 255, 0, 255)
+    frame = np.ascontiguousarray(img.astype(np.uint8)[..., ::-1])  # RGB->BGR
+    if kind == "hand":
+        bones = [b for finger in HAND_BONES for b in finger]
+    else:
+        bones = CONNECTIVITY_DICT[kind]
+    joints = np.asarray(joints)
+    vis = (np.asarray(visibility).reshape(-1) > 0 if visibility is not None
+           else np.ones(len(joints), bool))
+    for a, b in bones:
+        if a < len(joints) and b < len(joints) and vis[a] and vis[b]:
+            cv2.line(frame, tuple(np.int32(joints[a])), tuple(np.int32(joints[b])),
+                     (0, 255, 0), 1, cv2.LINE_AA)
+    for j, (x, y) in enumerate(joints):
+        if vis[j]:
+            cv2.circle(frame, (int(x), int(y)), 2, (0, 0, 255), -1, cv2.LINE_AA)
+    return frame
+
+
+def dump_eval_frames(cfg, group: Dict[str, np.ndarray], locs: np.ndarray,
+                     dataset_tag: str, idx: int) -> int:
+    """Per-view frame dump during eval (reference tester.py:138-166): writes
+    OUTPUT_DIR/video/<dataset>/view<k>/%08d.png; assemble_video stitches the
+    per-view dirs into the mp4 grid afterwards.  Returns #frames written."""
+    import cv2
+
+    if not cfg.OUTPUT_DIR:
+        return 0
+    imgs = np.asarray(group["img"])
+    if imgs.ndim == 3:
+        imgs = imgs[None]
+    locs = np.asarray(locs)
+    if locs.ndim == 2:
+        locs = locs[None]
+    kind = "hand" if cfg.LIFTING.ENABLED else (
+        "human36m" if cfg.KEYPOINT.NUM_PTS in (17, 20) else "mpii")
+    vis = group.get("visibility")
+    n = 0
+    for v in range(imgs.shape[0]):
+        vvis = None if vis is None else np.asarray(vis)[v] if np.asarray(vis).ndim > 1 else vis
+        frame = render_pose_frame(imgs[v], locs[v], kind=kind, visibility=vvis)
+        out_dir = os.path.join(cfg.OUTPUT_DIR, "video", dataset_tag, f"view{v}")
+        os.makedirs(out_dir, exist_ok=True)
+        cv2.imwrite(os.path.join(out_dir, f"{idx:08d}.png"), frame)
+        n += 1
+    return n
+
+
+def visualization(cfg):
+    """CLI visualization dispatch (reference main.py:65-72 ->
+    vision/visualization.py:319-643), keyed by the VIS.* flags:
+
+      POINTCLOUD  — saved eval predictions -> per-sample pkl point clouds
+      EPIPOLAR_LINE / CURSOR — live epipolar introspection dump on a batch
+      AUC         — accumulated PCK counts -> AUC curve file
+      VIDEO       — stitch the tester's frame dumps into an mp4 grid
+
+    Returns a dict describing what was produced (empty if no flag set).
+    """
+    produced = {}
+    out_dir = cfg.OUTPUT_DIR or "."
+
+    if cfg.VIS.POINTCLOUD:
+        pred_path = os.path.join(
+            out_dir, cfg.VIS.SAVE_PRED_NAME.replace(".pth", ".pkl").replace(".npz", ".pkl"))
+        pc_dir = os.path.join(out_dir, "pointclouds")
+        produced["pointclouds"] = export_pointclouds(pred_path, pc_dir,
+                                                     cfg.VIS.SAVE_PRED_LIMIT)
+
+    if cfg.VIS.EPIPOLAR_LINE or cfg.VIS.CURSOR:
+        produced["epipolar_introspection"] = _run_epipolar_introspection(cfg)
+
+    if cfg.VIS.AUC:
+        pck_path = os.path.join(out_dir, "pck.pkl")
+        with open(pck_path, "rb") as f:
+            pck = pickle.load(f)
+        thresholds, acc, auc = auc_curve(
+            pck["err_joints"], pck["total_joints"], cfg.TEST.MAX_TH)
+        auc_path = os.path.join(out_dir, "auc.pkl")
+        with open(auc_path, "wb") as f:
+            pickle.dump({"thresholds": thresholds, "acc": acc, "auc": auc}, f)
+        produced["auc"] = auc
+
+    if cfg.VIS.VIDEO:
+        video_root = os.path.join(out_dir, "video")
+        for tag in sorted(os.listdir(video_root)) if os.path.isdir(video_root) else []:
+            view_dirs = sorted(
+                os.path.join(video_root, tag, d)
+                for d in os.listdir(os.path.join(video_root, tag))
+                if d.startswith("view"))
+            if view_dirs:
+                mp4 = os.path.join(video_root, f"{tag}.mp4")
+                produced[f"video/{tag}"] = assemble_video(view_dirs, mp4)
+    return produced
+
+
+def _run_epipolar_introspection(cfg):
+    """Build a live Epipolar module on one eval batch and dump every
+    geometric intermediate (reference visualization.py:472-537)."""
+    import jax
+
+    from ..data.pipeline import make_data_loader
+
+    loader = make_data_loader(cfg, is_train=False)[0]
+    batch = next(iter(loader))
+    group = {k: np.asarray(v)[0] for k, v in batch.items()}
+
+    from ..models.epipolar import Epipolar
+
+    model = Epipolar(cfg)
+    nfeats = cfg.KEYPOINT.NUM_PTS
+    h, w = cfg.KEYPOINT.HEATMAP_SIZE
+    feat1 = np.asarray(group["heatmap"], np.float32)
+    feat2 = np.asarray(group.get("other_heatmap", group["heatmap"]), np.float32)
+    if feat1.ndim == 3:
+        feat1, feat2 = feat1[None], feat2[None]
+    P1 = np.asarray(group["KRT"], np.float32).reshape(-1, 3, 4)[:1]
+    P2 = np.asarray(group["other_KRT"], np.float32).reshape(-1, 3, 4)[:1]
+    variables = model.init(jax.random.PRNGKey(0), feat1[:1], feat2[:1], P1, P2,
+                           train=False)
+    out_path = os.path.join(cfg.OUTPUT_DIR or ".", "epipolar_introspection.pkl")
+    os.makedirs(cfg.OUTPUT_DIR or ".", exist_ok=True)
+    dump = epipolar_introspection(
+        cfg, variables,
+        {"feat": feat1[:1], "other_feat": feat2[:1], "KRT": P1, "other_KRT": P2},
+        out_path=out_path,
+    )
+    return {k: np.asarray(v).shape for k, v in dump.items()}
+
+
 def assemble_video(frame_dirs, out_path: str, fps: int = 10, grid_cols: int = 2):
     """Side-by-side mp4 from per-view frame directories
     (reference scripts/video.py:44-125)."""

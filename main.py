@@ -92,15 +92,34 @@ def main(argv=None):
 
             loader = make_data_loader(cfg, is_train=True)
             sample = select_model_inputs(cfg, next(iter(loader)))
+            # create_train_state already imports foreign-format WEIGHTS
+            # (.pth/.pickle) and catalog pretrained backbones
             state = create_train_state(cfg, jax.random.PRNGKey(cfg.SEED), sample)
-            restored, _ = Checkpointer(cfg.OUTPUT_DIR).load(state, cfg.WEIGHTS or None)
+            native = cfg.WEIGHTS if cfg.WEIGHTS.endswith(".ckpt") else None
+            restored, _ = Checkpointer(cfg.OUTPUT_DIR).load(state, native)
             if restored is not None:
                 state = restored
-            else:
+            elif not cfg.WEIGHTS:
                 logger.warning("no checkpoint found; evaluating fresh init")
         results = run_test(cfg, state, max_batches=args.max_eval_batches)
         print("RESULTS:", {k: round(v, 4) for k, v in sorted(results.items())})
+        _maybe_visualize(cfg)
         return results
+    _maybe_visualize(cfg)
+    return None
+
+
+def _maybe_visualize(cfg):
+    """reference main.py:69-71: `if cfg.VIS.DOVIS: visualization(cfg)`.
+    Only dispatches when a concrete VIS mode is requested (DOVIS defaults
+    True, so an unconditional call would no-op every run)."""
+    if cfg.VIS.DOVIS and (cfg.VIS.POINTCLOUD or cfg.VIS.AUC or cfg.VIS.VIDEO
+                          or cfg.VIS.EPIPOLAR_LINE or cfg.VIS.CURSOR):
+        from epipolar_transformers_tpu.vis.visualization import visualization
+
+        produced = visualization(cfg)
+        print("VIS:", produced)
+        return produced
     return None
 
 
