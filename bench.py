@@ -57,7 +57,11 @@ def main():
     inputs = _example_batch(cfg, batch=BATCH)
 
     model = ModelBuilder(cfg)
-    variables = model.init(jax.random.PRNGKey(0), inputs, is_train=False)
+    # jit the init: eager init dispatches every conv separately through the
+    # device tunnel (minutes); one compiled program initializes in seconds
+    variables = jax.jit(
+        lambda rng: model.init(rng, inputs, is_train=False)
+    )(jax.random.PRNGKey(0))
 
     @jax.jit
     def forward(img, other_img, KRT, other_KRT):

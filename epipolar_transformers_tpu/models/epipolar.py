@@ -5,7 +5,8 @@ for every reference-view pixel, attend over `SAMPLESIZE` points along its
 epipolar line in a neighboring view, fuse the similarity-weighted source
 features, then optionally project through a 1x1 conv `z` + zero-init BN and
 add residually.  Geometry lives in ops/epipolar_sampling.py; the attention
-core in ops/epipolar_attention.py (and its fused Pallas kernel twin).
+core in ops/epipolar_attention.py (oracle) with the gather-free matmul
+formulation in ops/epipolar_attention_matmul.py as the TPU production path.
 
 Differences from the reference by design (TPU-native):
   * NHWC layout, no Python batch loop;

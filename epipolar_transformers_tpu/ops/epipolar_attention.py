@@ -14,9 +14,10 @@ while everything stays inside one XLA program:
 Max attention is expressed as one-hot weights over K (identical result to the
 reference's argmax-gather, epipolar.py:225-235).
 
-The fused Pallas kernel (ops/pallas/epipolar_kernel.py) computes the same
-function in VMEM tiles; this implementation is the correctness oracle and the
-CPU fallback.
+This implementation is the correctness oracle and the CPU fallback; the
+production TPU path is the gather-free matmul formulation in
+ops/epipolar_attention_matmul.py (exact-parity tested against this oracle in
+tests/test_epipolar_matmul.py).
 """
 
 from __future__ import annotations

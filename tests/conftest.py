@@ -22,6 +22,13 @@ jax.config.update("jax_platforms", "cpu")
 # remain float32 (flax default) regardless.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: CPU compiles of the big train-step /
+# model-init programs dominate suite wall-time; cache them across runs.
+_cache_dir = os.environ.get("JAX_TEST_CACHE", "/tmp/jax_test_comp_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
