@@ -42,9 +42,9 @@ from .layers import ZeroInitBatchNorm, compute_dtype
 class Epipolar(nn.Module):
     cfg: Config
     # 'auto' (default): the gather-free matmul formulation
-    # (ops/epipolar_attention_matmul.py — MXU-only, no XLA gathers) whenever
-    # the config's semantics are linear in the source features (avg attention,
-    # dot/prior similarity, no pooling), else the streaming single-gather-pass
+    # (ops/epipolar_attention_matmul.py — MXU-only, no XLA gathers) for every
+    # config except sample POOLING (avg/max attention, dot/cos/prior
+    # similarity all supported), else the streaming single-gather-pass
     # online-softmax path.  'matmul' / 'streaming' / 'reference' force one.
     attention_impl: str = "auto"
 

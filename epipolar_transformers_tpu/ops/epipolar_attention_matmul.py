@@ -31,10 +31,15 @@ fully out-of-range sample yields sim == 0.0 exactly and is masked to -1e10,
 reproducing the reference's zero-padding sentinel semantics
 (epipolar.py:298).
 
-Supported: attention='avg', similarity in ('dot', 'prior'), softmax on/off,
-additive and multiplicative priors, shared or separate key/value tensors.
-Not supported (falls back to streaming in models/epipolar.py): cosine
-similarity, max attention, sample pooling — these are not linear in f2.
+Supported: attention in ('avg', 'max'), similarity in ('dot', 'cos',
+'prior'), softmax on/off, additive and multiplicative priors, shared or
+separate key/value tensors.  Cosine norms are gather-free too:
+||bilinear(f2)||^2 is a quadratic form in the corner weights whose corner
+pairs live in a 3x3 neighborhood, so 5 shifted self-dot maps of f2 reduce it
+to the same profile-contraction pattern (see _interp_norm2).  Max attention
+is one-hot weights over the cosine stack — still a linear fusion.
+Not supported (falls back to streaming in models/epipolar.py): sample
+POOLING, which maxes the sampled *features* and is genuinely non-linear.
 """
 
 from __future__ import annotations
@@ -43,16 +48,27 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import denormalize_pixel
-from .epipolar_attention import NEG_INF, AttentionParams
+from .epipolar_attention import COS_EPS, NEG_INF, AttentionParams
 from .quad_gather import _axis_slot_weights
 
 
 def supports_matmul_attention(params: AttentionParams) -> bool:
     """True when the gather-free formulation computes the exact reference
-    semantics for this configuration."""
+    semantics for this configuration.
+
+    Cosine similarity (and max attention, which always uses cosine —
+    reference epipolar.py:282-286) is gather-free too: the norm of a
+    bilinearly-interpolated feature is a quadratic form in the corner
+    weights, ||sum_i w_i v_i||^2 = sum_ij w_i w_j <v_i, v_j>, and every
+    corner pair lives in a 3x3 pixel neighborhood — so 5 shifted self-dot
+    maps of the source features (+ their mirrored twins by symmetry) turn
+    the norm into the same profile-contraction pattern as the similarity.
+    Only sample POOLING (a max over sample pairs of the *features*, not the
+    weights) is genuinely non-linear in the source features and falls back
+    to the streaming path."""
     return (
-        params.attention == "avg"
-        and params.similarity in ("dot", "prior")
+        params.attention in ("avg", "max")
+        and params.similarity in ("dot", "cos", "prior")
         and not params.pooling
     )
 
@@ -64,17 +80,70 @@ def _largest_divisor(n: int, cap: int) -> int:
     return d
 
 
-def _profiles(base, w0, w1, size):
+def _shift_map(a, dy: int, dx: int):
+    """b[y, x] = a[y+dy, x+dx], zero outside the image. a: (H, W, C)."""
+    H, W = a.shape[:2]
+    pad = ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)), (0, 0))
+    ap = jnp.pad(a, pad)
+    y0, x0 = max(dy, 0), max(dx, 0)
+    return ap[y0 : y0 + H, x0 : x0 + W]
+
+
+# one of each +/- offset pair; the mirrored twin contributes symmetrically
+_NORM_OFFSETS = ((0, 0), (0, 1), (1, 0), (1, 1), (1, -1))
+
+
+def _self_dot_maps(f2):
+    """(H, W, C) -> tuple of (H, W) maps <f2[y,x], f2[y+dy,x+dx]> for the
+    canonical 3x3-neighborhood offsets (zero where the twin is outside)."""
+    f2 = f2.astype(jnp.float32)
+    return tuple(
+        jnp.einsum("yxc,yxc->yx", f2, _shift_map(f2, dy, dx))
+        for dy, dx in _NORM_OFFSETS
+    )
+
+
+def _prof_shift(prof, d: int):
+    """p[..., s] = prof[..., s+d], zero outside [0, S)."""
+    if d == 0:
+        return prof
+    zeros = jnp.zeros(prof.shape[:-1] + (abs(d),), prof.dtype)
+    if d > 0:
+        return jnp.concatenate([prof[..., d:], zeros], axis=-1)
+    return jnp.concatenate([zeros, prof[..., :d]], axis=-1)
+
+
+def _interp_norm2(yprof, xprof, dot_maps):
+    """||bilinear(f2, loc)||^2 for every (query, sample), gather-free.
+
+    norm^2 = sum_ij w_i w_j <v_i, v_j> over the 4 bilinear corners; grouped
+    by corner-pair offset it becomes profile contractions against the
+    shifted self-dot maps."""
+    total = jnp.zeros(yprof.shape[:-1], jnp.float32)
+    for (dy, dx), D in zip(_NORM_OFFSETS, dot_maps):
+        Py = yprof * _prof_shift(yprof, dy)  # (Q, K, H)
+        Px = xprof * _prof_shift(xprof, dx)  # (Q, K, W)
+        t = jnp.einsum("qky,yx->qkx", Py, D, preferred_element_type=jnp.float32)
+        c = jnp.einsum("qkx,qkx->qk", t, Px, preferred_element_type=jnp.float32)
+        total = total + (c if (dy, dx) == (0, 0) else 2.0 * c)
+    return total
+
+
+def _profiles(base, w0, w1, size, dtype=jnp.float32):
     """(Q, K) per-axis bilinear data -> (Q, K, size) interpolation profile.
 
     Exactly two (or fewer, at image borders) nonzeros per row; validity
-    masking already encoded in w0/w1 by _axis_slot_weights."""
+    masking already encoded in w0/w1 by _axis_slot_weights.  `dtype` is the
+    storage dtype — the profiles are the largest intermediates, so bf16
+    storage halves the dominant HBM traffic in bf16 compute mode (weights
+    are in [0, 1]; bf16 keeps ~3 significant digits, and zero stays exact)."""
     i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
     b = base[..., None]
     zero = jnp.zeros((), jnp.float32)
-    return jnp.where(i == b, w0[..., None], zero) + jnp.where(
+    prof = jnp.where(i == b, w0[..., None], zero) + jnp.where(
         i == b + 1, w1[..., None], zero
     )
+    return prof.astype(dtype)
 
 
 def epipolar_attention_matmul(
@@ -85,6 +154,7 @@ def epipolar_attention_matmul(
     params: AttentionParams,
     prior: jnp.ndarray | None = None,
     q_chunk: int = 512,
+    profile_dtype=None,
 ):
     """Single-item epipolar attention, gather-free (drop-in for
     ops/epipolar_attention.epipolar_attention on supported configs).
@@ -108,6 +178,15 @@ def epipolar_attention_matmul(
     K = sample_locs.shape[0]
     HW = H * W
     fuse_bf16 = other2.dtype == jnp.bfloat16
+    # bf16 compute mode (cfg.DTYPE=bfloat16): the backbone emits bf16
+    # features, so run ALL the big einsums with bf16 inputs + f32
+    # accumulation (full MXU rate).  Profiles are exact bilinear weights in
+    # [0, 1]; bf16's 8-bit mantissa costs < 0.4% relative weight error —
+    # the attention output is a convex combination, so the error does not
+    # amplify.  f32 inputs keep the bit-exact f32 path (oracle parity).
+    fast_bf16 = feat1.dtype == jnp.bfloat16 or other1.dtype == jnp.bfloat16
+    prof_dtype = (jnp.dtype(profile_dtype) if profile_dtype is not None
+                  else (jnp.bfloat16 if fast_bf16 else jnp.float32))
 
     # per-axis bilinear data for every (query, sample): (HW, K) each.
     # align_corners=True unnormalize, identical to ops/grid_sample.py.
@@ -120,7 +199,7 @@ def epipolar_attention_matmul(
     f1 = feat1.reshape(HW, -1)
     f2k = other1.reshape(HW, -1)
     f2v = other2.reshape(HW, -1)
-    if fuse_bf16:
+    if fuse_bf16 or fast_bf16:
         f2v = f2v.astype(jnp.bfloat16)
 
     Q = _largest_divisor(HW, q_chunk)
@@ -139,21 +218,50 @@ def epipolar_attention_matmul(
             prior.reshape(K, HW).T.astype(jnp.float32)
         )
 
+    need_cos = params.attention == "max" or params.similarity == "cos"
+    dot_maps = _self_dot_maps(other1) if need_cos else None
+
     def chunk(c):
-        xprof = _profiles(c["xb"], c["wx0"], c["wx1"], W)  # (Q, K, W) f32
-        yprof = _profiles(c["yb"], c["wy0"], c["wy1"], H)  # (Q, K, H) f32
+        xprof = _profiles(c["xb"], c["wx0"], c["wx1"], W, prof_dtype)  # (Q, K, W)
+        yprof = _profiles(c["yb"], c["wy0"], c["wy1"], H, prof_dtype)  # (Q, K, H)
         p = c.get("prior")
 
-        if params.similarity == "prior":
-            w = p
-        else:
+        def dot_sim():
             G = jnp.einsum(
                 "qc,pc->qp", c["f1"], f2k, preferred_element_type=jnp.float32
             ).reshape(Q, H, W)
             T = jnp.einsum(
-                "qyx,qkx->qky", G, xprof, preferred_element_type=jnp.float32
+                "qyx,qkx->qky", G.astype(prof_dtype), xprof,
+                preferred_element_type=jnp.float32,
             )
-            sim = jnp.einsum("qky,qky->qk", T, yprof)
+            sim = jnp.einsum(
+                "qky,qky->qk", T.astype(prof_dtype), yprof,
+                preferred_element_type=jnp.float32,
+            )
+            if need_cos:
+                # cosine = dot / (||f1|| * ||bilinear(f2)||), both norms
+                # clamped like torch F.cosine_similarity (oracle COS_EPS);
+                # a fully out-of-range sample keeps sim == 0.0 exactly
+                n2 = jnp.sqrt(jnp.maximum(
+                    _interp_norm2(yprof, xprof, dot_maps), 0.0))
+                n1 = jnp.linalg.norm(c["f1"].astype(jnp.float32), axis=-1)
+                sim = sim / (jnp.maximum(n1, COS_EPS)[:, None]
+                             * jnp.maximum(n2, COS_EPS))
+            return sim
+
+        if params.attention == "max":
+            # reference epipolar.py:225-235,282-286: hard argmax over COSINE
+            # similarity; no softmax, no zero-masking, prior unused; 'depth'
+            # downstream is the raw cosine stack
+            sim = dot_sim()
+            w = jax.nn.one_hot(
+                jnp.argmax(sim, axis=-1), K, dtype=jnp.float32)
+            depth_c = sim
+        elif params.similarity == "prior":
+            w = p
+            depth_c = w
+        else:
+            sim = dot_sim()
             # reference epipolar_similarity (epipolar.py:287-321)
             masked = jnp.where(sim == 0.0, NEG_INF, sim)
             if p is not None and not params.priormul:
@@ -164,18 +272,22 @@ def epipolar_attention_matmul(
                     w = w * p
             else:
                 w = masked / K
+            depth_c = w
 
         n_mat = jnp.einsum(
-            "qky,qkx->qyx", yprof * w[..., None], xprof,
+            "qky,qkx->qyx",
+            (yprof * w[..., None]).astype(prof_dtype), xprof,
             preferred_element_type=jnp.float32,
         ).reshape(Q, HW)
-        if fuse_bf16:
+        if fuse_bf16 or fast_bf16:
             n_mat = n_mat.astype(jnp.bfloat16)
         out_c = jnp.einsum(
             "qp,pc->qc", n_mat, f2v, preferred_element_type=jnp.float32
         )
+        # oracle: best = argmax of the final weights (avg) / cosine sim (max);
+        # for max the one-hot w shares its argmax with sim
         best_c = jnp.argmax(w, axis=-1).astype(jnp.int32)
-        return out_c, w, best_c
+        return out_c, depth_c, best_c
 
     out, depth, best = jax.lax.map(jax.checkpoint(chunk), xs)
     out = out.reshape(H, W, -1).astype(other2.dtype)

@@ -27,6 +27,9 @@ def _case(rng, K=8, H=6, W=5, C=4):
 CASES = [
     dict(attention="avg", similarity="dot"),
     dict(attention="avg", similarity="dot", softmax_enabled=False),
+    dict(attention="avg", similarity="cos"),
+    dict(attention="max", similarity="dot"),  # max always uses cosine
+    dict(attention="max", similarity="cos"),
 ]
 
 
@@ -110,10 +113,40 @@ def test_matmul_real_geometry_locs(rng, camera_ring):
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_matmul_gradients_match(rng):
+@pytest.mark.parametrize("attention", ["avg", "max"])
+def test_matmul_real_geometry_cos(rng, camera_ring, attention):
+    """Cosine/max parity on real epipolar-geometry sample locations — the
+    gather-free norm (_interp_norm2) vs the oracle's per-sample norms,
+    including partially-clipped corners."""
+    from epipolar_transformers_tpu.ops.epipolar_sampling import (
+        EpipolarGeometry, epipolar_sample_locs,
+    )
+
+    H = W = 16
+    P1 = jnp.asarray(camera_ring["KRT"][0])
+    P2 = jnp.asarray(camera_ring["KRT"][1])
+    geom = EpipolarGeometry(feat_h=H, feat_w=W, sample_size=16, downsample=4,
+                            resize=1.0, correct_normalize=True)
+    locs = epipolar_sample_locs(P1, P2, geom).astype(jnp.float32)
+    f1 = jnp.asarray(rng.randn(H, W, 8).astype(np.float32))
+    o1 = jnp.asarray(rng.randn(H, W, 8).astype(np.float32))
+    params = AttentionParams(attention=attention, similarity="cos",
+                             softmax_scale=0.25)
+    ref = epipolar_attention(f1, o1, o1, locs, params)
+    got = epipolar_attention_matmul(f1, o1, o1, locs, params)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(attention="avg", similarity="dot"),
+    dict(attention="avg", similarity="cos"),
+    dict(attention="max", similarity="dot"),
+])
+def test_matmul_gradients_match(rng, kw):
     f1, o1, o2, locs = _case(rng)
-    params = AttentionParams(attention="avg", similarity="dot",
-                             softmax_scale=1 / np.sqrt(8))
+    params = AttentionParams(softmax_scale=1 / np.sqrt(8), **kw)
 
     def loss(fn, *args):
         out, _, _ = fn(*args, locs, params)
