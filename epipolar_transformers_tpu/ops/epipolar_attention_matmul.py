@@ -153,7 +153,7 @@ def epipolar_attention_matmul(
     sample_locs: jnp.ndarray,
     params: AttentionParams,
     prior: jnp.ndarray | None = None,
-    q_chunk: int = 512,
+    q_chunk: int = 32,
     profile_dtype=None,
 ):
     """Single-item epipolar attention, gather-free (drop-in for
@@ -166,7 +166,11 @@ def epipolar_attention_matmul(
         sample_locs: (K, H, W, 2) normalized (-1, 1) sample locations.
         prior: optional (K, H, W) learned per-camera-pair prior.
         q_chunk: queries per sequential chunk (bounds peak memory; the
-            profile intermediates are (q_chunk, K, max(H, W)) f32).
+            profile intermediates are (q_chunk, K, max(H, W))).  Swept on
+            a v5e chip at the flagship shape (H=W=K=64, C=256, batch 8):
+            32 -> 5.9 ms/iter, 64 -> 7.1, 128 -> 12.3, 512 -> 13-15 —
+            small chunks keep every intermediate VMEM-resident and the
+            lax.map loop pipelines; 32 is the sweet spot.
     Returns:
         out: (H, W, Cv) fused features (dtype of other2).
         corr_pos: (H, W, 2) feature-pixel coords of the best sample.
@@ -303,7 +307,7 @@ def epipolar_attention_matmul(
 
 def epipolar_attention_matmul_batch(
     feat1, other1, other2, sample_locs, params: AttentionParams, prior=None,
-    q_chunk: int = 512,
+    q_chunk: int = 32,
 ):
     """vmap over the batch: feats (N, H, W, C), sample_locs (N, K, H, W, 2)."""
     if prior is None:

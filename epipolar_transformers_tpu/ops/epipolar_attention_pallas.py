@@ -1,0 +1,217 @@
+"""Fused Pallas TPU kernel for epipolar attention (flagship configuration).
+
+Computes the same function as ops/epipolar_attention_matmul.py (itself
+oracle-parity-tested against ops/epipolar_attention.py, the functional twin
+of reference modeling/layers/epipolar.py:188-247,272-321) for the flagship
+semantics — avg attention, dot similarity, shared key/value features, no
+prior, no pooling — in ONE kernel that keeps every intermediate in VMEM:
+
+    per (batch, query-tile) program:
+      G    = f1_tile @ f2^T                  row-looped MXU dots, VMEM scratch
+      xprof/yprof = iota-compare profiles    VPU, built in contraction layout
+      T    = G  (x)  xprof                   batched MXU dot over queries
+      sim  = sum_y T * yprofT                VPU reduce
+      w    = softmax(mask(sim) / sqrt(K))    VPU
+      nmat = (yprofT * w) (k) xprof          batched MXU dot
+      out  = nmat @ f2                       row-looped MXU dots
+
+The XLA formulation (epipolar_attention_matmul) round-trips G, the profiles,
+T and the weight matrix through HBM between einsums (~5 ms of its ~13 ms at
+the flagship shape); here they never leave VMEM.
+
+Mosaic constraints shaping the code (probed on hardware):
+  * reshapes that split the lane dimension, e.g. (Q, H*W) -> (Q, H, W), do
+    not lower — so G is built (and consumed) one image row at a time;
+  * minor-dim transposes are avoided by building each profile directly in
+    the layout its contraction needs (yprof as (Q, H, K), xprof as (Q, K, W));
+  * batched dot_general (batch dim 0) and broadcasted_iota lower fine.
+
+Forward-only: the kernel is used for inference (bench, eval); training
+takes the autodiff-able matmul path (models/epipolar.py dispatch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry.camera import denormalize_pixel
+from .epipolar_attention import NEG_INF, AttentionParams
+from .quad_gather import _axis_slot_weights
+
+
+def supports_pallas_attention(params: AttentionParams, shared_kv: bool,
+                              has_prior: bool, n_queries: int) -> bool:
+    """The kernel covers exactly the flagship semantics; everything else
+    falls back to the (fully general) matmul path."""
+    return (
+        params.attention == "avg"
+        and params.similarity == "dot"
+        and not params.pooling
+        and shared_kv
+        and not has_prior
+        and n_queries % _tile(n_queries) == 0
+    )
+
+
+def _tile(hw: int) -> int:
+    """Query-tile size: 128 keeps the per-program VMEM footprint ~9 MB at
+    the flagship shape (f2 2MB + G 2MB + T/profiles/nmat ~4MB)."""
+    return min(128, hw)
+
+
+def _kernel(f1_ref, f2_ref, xb_ref, wx0_ref, wx1_ref, yb_ref, wy0_ref,
+            wy1_ref, out_ref, w_ref, g_scratch, *, H, W, K, softmax_enabled,
+            softmax_scale):
+    QT, C = f1_ref.shape[1], f1_ref.shape[2]
+    f1t = f1_ref[0]  # (QT, C)
+    prof_dtype = f1t.dtype
+
+    # ---- G[q, y, x] = <f1[q], f2[y, x]> --- one MXU dot per image row
+    # (Mosaic cannot reshape (QT, H*W) -> (QT, H, W))
+    def g_row(y, _):
+        row = f2_ref[0, pl.ds(y, 1)][0]  # (W, C)
+        g = jax.lax.dot_general(
+            f1t, row, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (QT, W)
+        g_scratch[:, pl.ds(y, 1), :] = g.astype(g_scratch.dtype)[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, H, g_row, 0)
+
+    # ---- bilinear profiles, each built directly in its contraction layout
+    xb = xb_ref[0]  # (QT, K) int32
+    xi = jax.lax.broadcasted_iota(jnp.int32, (QT, K, W), 2)
+    xprof = (
+        jnp.where(xi == xb[..., None], wx0_ref[0][..., None], 0.0)
+        + jnp.where(xi == xb[..., None] + 1, wx1_ref[0][..., None], 0.0)
+    ).astype(prof_dtype)  # (QT, K, W)
+
+    yb = yb_ref[0][:, None, :]  # (QT, 1, K)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (QT, H, K), 1)
+    yprof_t = (
+        jnp.where(yi == yb, wy0_ref[0][:, None, :], 0.0)
+        + jnp.where(yi == yb + 1, wy1_ref[0][:, None, :], 0.0)
+    ).astype(prof_dtype)  # (QT, H, K)
+
+    # ---- x-contraction on the MXU: T[q, y, k] = sum_x G[q,y,x] xprof[q,k,x]
+    T = jax.lax.dot_general(
+        g_scratch[:].astype(prof_dtype), xprof,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (QT, H, K)
+
+    # ---- y-contraction on the VPU; exact-zero => out-of-range sentinel
+    sim = jnp.sum(T * yprof_t.astype(jnp.float32), axis=1)  # (QT, K)
+    masked = jnp.where(sim == 0.0, NEG_INF, sim)
+    if softmax_enabled:
+        w = jax.nn.softmax(masked * softmax_scale, axis=-1)
+    else:
+        w = masked / K
+    w_ref[0] = w
+
+    # ---- fused output: nmat[q,y,x] = sum_k (yprofT*w)[q,y,k] xprof[q,k,x]
+    yw = (yprof_t.astype(jnp.float32) * w[:, None, :]).astype(prof_dtype)
+    nmat = jax.lax.dot_general(
+        yw, xprof, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (QT, H, W)
+    # G is dead past T; reuse its scratch so the row loop can slice a ref
+    # (Mosaic cannot dynamic_slice an SSA value)
+    g_scratch[:] = nmat
+
+    # ---- out[q] = sum_{y,x} nmat[q,y,x] f2[y,x,:] --- row-looped MXU dots
+    def out_row(y, acc):
+        row = f2_ref[0, pl.ds(y, 1)][0]  # (W, C)
+        nrow = g_scratch[:, pl.ds(y, 1), :][:, 0, :].astype(prof_dtype)
+        return acc + jax.lax.dot_general(
+            nrow, row, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, H, out_row, jnp.zeros((QT, C), jnp.float32))
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def epipolar_attention_pallas(
+    feat1: jnp.ndarray,
+    other: jnp.ndarray,
+    sample_locs: jnp.ndarray,
+    params: AttentionParams,
+    interpret: bool = False,
+):
+    """Batched fused epipolar attention (shared key/value features).
+
+    Args:
+        feat1: (N, H, W, C) reference-view queries.
+        other: (N, H, W, C) source-view features (keys == values).
+        sample_locs: (N, K, H, W, 2) normalized (-1, 1) sample locations.
+        interpret: run the kernel in interpreter mode (CPU tests).
+    Returns:
+        out: (N, H, W, C), corr_pos: (N, H, W, 2), depth: (N, K, H, W) —
+        same contract as epipolar_attention_matmul_batch.
+    """
+    N, H, W, C = feat1.shape
+    K = sample_locs.shape[1]
+    HW = H * W
+    QT = _tile(HW)
+    assert HW % QT == 0, (HW, QT)
+
+    # per-(query, sample) bilinear data, (N, HW, K) each — same conventions
+    # as ops/epipolar_attention_matmul.py (align_corners=True unnormalize)
+    locs = sample_locs.reshape(N, K, HW, 2).transpose(0, 2, 1, 3)
+    locs = jax.lax.stop_gradient(locs).astype(jnp.float32)
+    x = (locs[..., 0] + 1.0) / 2.0 * (W - 1)
+    y = (locs[..., 1] + 1.0) / 2.0 * (H - 1)
+    xb, wx0, wx1 = _axis_slot_weights(x, W)
+    yb, wy0, wy1 = _axis_slot_weights(y, H)
+    wdt = feat1.dtype
+    wx0, wx1, wy0, wy1 = (a.astype(wdt) for a in (wx0, wx1, wy0, wy1))
+
+    f1 = feat1.reshape(N, HW, C)
+    f2 = other  # (N, H, W, C); rows sliced inside the kernel
+
+    grid = (N, HW // QT)
+    tile_qk = pl.BlockSpec((1, QT, K), lambda b, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    out, w = pl.pallas_call(
+        functools.partial(
+            _kernel, H=H, W=W, K=K,
+            softmax_enabled=params.softmax_enabled,
+            softmax_scale=float(params.softmax_scale),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, QT, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            # full source image per batch item; index independent of i, so
+            # Pallas keeps it resident across the inner grid dimension
+            pl.BlockSpec((1, H, W, C), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_qk, tile_qk, tile_qk, tile_qk, tile_qk, tile_qk,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, QT, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            tile_qk,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, HW, C), feat1.dtype),
+            jax.ShapeDtypeStruct((N, HW, K), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((QT, H, W), jnp.float32)],
+        interpret=interpret,
+    )(f1, f2, xb, wx0, wx1, yb, wy0, wy1)
+
+    out = out.reshape(N, H, W, C)
+    depth = w.transpose(0, 2, 1).reshape(N, K, H, W)
+
+    best = jnp.argmax(w, axis=-1).reshape(N, H, W)  # (N, H, W)
+    pos = jnp.take_along_axis(
+        sample_locs, best[:, None, :, :, None], axis=1)[:, 0]
+    corr_pos = jax.lax.stop_gradient(
+        denormalize_pixel(pos, H, W, correct=params.correct_normalize))
+    return out, corr_pos, depth
