@@ -109,7 +109,26 @@ class ModelBuilder(nn.Module):
         if task in ("keypoint", "multiview_keypoint"):
             if task == "multiview_keypoint" and c.EPIPOLAR.MULTITEST and not is_train:
                 return self._multitest_forward(inputs)
-            if task == "multiview_keypoint":
+            if task == "multiview_keypoint" and self._can_fuse_trunks(net_train):
+                # eval fast path: the reference/other passes share the whole
+                # trunk+deconv prefix under MERGE='late' + SHARE_WEIGHTS, and
+                # eval BN uses running stats — so ONE 2N-batch trunk call is
+                # numerically identical to two N-batch passes and twice as
+                # MXU-efficient (the reference always runs two, model.py:241-247)
+                both = jnp.concatenate([inputs["img"], inputs["other_img"]], axis=0)
+                feats = self.reference.trunk_features(both, train=net_train)
+                feat_ref, other_features = jnp.split(feats, 2, axis=0)
+                bb = self.reference.head_from_features(
+                    feat_ref,
+                    other_features=other_features,
+                    other_KRT=inputs["other_KRT"],
+                    KRT=inputs["KRT"],
+                    camera=inputs.get("camera"),
+                    other_camera=inputs.get("other_camera"),
+                    train=net_train,
+                    decode_peaks=not is_train,
+                )
+            elif task == "multiview_keypoint":
                 other_img = inputs["other_img"]
                 # reference keeps the sibling backbone in train mode but wraps
                 # it in no_grad unless OTHER_GRAD (model.py:241-244)
@@ -276,6 +295,20 @@ class ModelBuilder(nn.Module):
             "score_pred": batch_scos,
         }
         return {}, {}, out
+
+    def _can_fuse_trunks(self, net_train: bool) -> bool:
+        """Eval-only 2N-batch trunk fusion is valid when the two passes are
+        the same function: shared weights, late merge (no fusion inside the
+        trunk), and BN on running statistics (not net_train — covers both
+        training and TEST.TRAIN_BN)."""
+        c = self.cfg
+        return (
+            not net_train
+            and c.EPIPOLAR.SHARE_WEIGHTS
+            and c.EPIPOLAR.MERGE == "late"
+            and not c.EPIPOLAR.WARPEDHEATMAP
+            and hasattr(self.reference, "trunk_features")
+        )
 
     @staticmethod
     def _uses_backbone_features(task: str) -> bool:

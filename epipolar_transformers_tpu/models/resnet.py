@@ -229,6 +229,63 @@ class PoseResNet(nn.Module):
                 self.epipolar_sampler1 = Epipolar(c, name="epipolar_sampler1")
             self.epipolar_sampler = Epipolar(c, name="epipolar_sampler")
 
+    def trunk_features(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        """Trunk + deconv with no epipolar merge (the full shared prefix of
+        the reference/other passes when MERGE='late').  The builder batches
+        both views through this in ONE call at eval — valid because eval BN
+        uses running statistics, so concatenating the batch is numerically
+        identical to two passes (see ModelBuilder fused-trunk path)."""
+        h = self.trunk_conv1(x)
+        h = self.trunk_bn1(h, use_running_average=not train)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        h = self.layer1(h, train)
+        h = self.layer2(h, train)
+        h = self.layer3(h, train)
+        h = self.layer4(h, train)
+        return self.deconv(h, train)
+
+    def head_from_features(
+        self,
+        feature: jnp.ndarray,
+        other_features: Optional[jnp.ndarray] = None,
+        other_KRT: Optional[jnp.ndarray] = None,
+        KRT: Optional[jnp.ndarray] = None,
+        camera: Optional[jnp.ndarray] = None,
+        other_camera: Optional[jnp.ndarray] = None,
+        train: bool = True,
+        decode_peaks: bool = True,
+    ) -> BackboneOutput:
+        """Late-merge fusion + heatmap head + decode on precomputed deconv
+        features (the suffix of __call__ past the shared trunk)."""
+        c = self.cfg
+        corr_pos = depth = sample_locs = None
+        if other_features is not None and self.is_epipolar and c.EPIPOLAR.MERGE == "late":
+            fused, corr_pos, depth, sample_locs = self.epipolar_sampler(
+                feature, other_features, KRT, other_KRT,
+                camera=camera, other_camera=other_camera, train=train,
+            )
+            h = fused + feature  # reference resnet.py:388
+        else:
+            h = feature
+
+        heatmap = self.final_layer(h)
+        locs = scores = None
+        if decode_peaks:
+            hm_jhw = jnp.transpose(heatmap, (0, 3, 1, 2)).astype(jnp.float32)
+            locs, scores = jax.vmap(
+                lambda m: find_tensor_peak_batch(m, c.KEYPOINT.SIGMA, c.BACKBONE.DOWNSAMPLE)
+            )(hm_jhw)
+        return BackboneOutput(
+            features=feature,
+            heatmaps=(heatmap,),
+            locs=locs,
+            scores=scores,
+            corr_pos=corr_pos,
+            depth=depth,
+            sample_locs=sample_locs,
+        )
+
     def __call__(
         self,
         x: jnp.ndarray,
