@@ -23,6 +23,9 @@ def parse_args(argv=None):
                         help="cap eval batches (smoke runs)")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed for multi-host pods")
+    parser.add_argument("--trace", metavar="DIR", default=None,
+                        help="capture a jax.profiler trace of the run into "
+                             "DIR (open with Perfetto / TensorBoard)")
     parser.add_argument("opts", nargs=argparse.REMAINDER,
                         help="KEY VALUE config override pairs")
     return parser.parse_args(argv)
@@ -72,6 +75,24 @@ def main(argv=None):
 
     from epipolar_transformers_tpu.engine import test as run_test
     from epipolar_transformers_tpu.engine import train as run_train
+
+    import contextlib
+
+    if args.trace:
+        # device-level tracing (SURVEY §5: jax.profiler + Perfetto is the
+        # TPU analog of the reference's wall-clock tic/toc timers); wraps
+        # the whole train/eval dispatch below
+        trace_cm = jax.profiler.trace(args.trace)
+        logger.info("profiler trace -> %s", args.trace)
+    else:
+        trace_cm = contextlib.nullcontext()
+
+    with trace_cm:
+        return _dispatch(cfg, args, run_train, run_test, logger)
+
+
+def _dispatch(cfg, args, run_train, run_test, logger):
+    import jax
 
     state = None
     if cfg.DOTRAIN:
