@@ -19,38 +19,41 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import pix2coord
+from .quad_gather import _axis_slot_weights
+
+
+def _axis_profile(center, offsets: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(K,) sample positions center+offsets -> (K, size) bilinear profile.
+
+    Row k holds the interpolation weights of position center+offsets[k]
+    over the axis — at most two adjacent nonzeros, with out-of-range
+    corners exactly zero (torch grid_sample padding_mode='zeros').  Same
+    validity semantics as quad_gather._axis_slot_weights."""
+    pos = center + offsets
+    base, w0, w1 = _axis_slot_weights(pos, size)
+    i = jax.lax.broadcasted_iota(jnp.int32, (offsets.shape[0], size), 1)
+    b = base[:, None]
+    return jnp.where(i == b, w0[:, None], 0.0) + jnp.where(
+        i == b + 1, w1[:, None], 0.0
+    )
 
 
 def _bilinear_window(heatmap: jnp.ndarray, cx, cy, offsets: jnp.ndarray) -> jnp.ndarray:
     """Sample heatmap (H, W) at (cx+ox, cy+oy) for all offset pairs.
 
-    Zero padding outside the map (torch grid_sample padding_mode='zeros',
-    align_corners=True reduces to direct pixel-space bilinear sampling here).
+    Gather-free: the window is a separable bilinear crop, so it is two
+    profile matmuls sub = Py @ H @ Px^T (TPU MXU) instead of 4*(K, K)
+    scalar gathers — the XLA TPU gather lowering made the old formulation
+    ~2 ms of the flagship inference iteration; this is ~0.1 ms.
     Returns (K, K) with K = len(offsets); rows index y, cols index x.
     """
     H, W = heatmap.shape
-    x = cx + offsets[None, :]  # (1, K) broadcast over rows
-    y = cy + offsets[:, None]  # (K, 1)
-    x = jnp.broadcast_to(x, (offsets.shape[0], offsets.shape[0]))
-    y = jnp.broadcast_to(y, (offsets.shape[0], offsets.shape[0]))
-
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx1 = x - x0
-    wy1 = y - y0
-
-    def gather(yc, xc):
-        valid = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
-        xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
-        yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
-        return jnp.where(valid, heatmap[yi, xi], 0.0)
-
-    return (
-        gather(y0, x0) * (1 - wy1) * (1 - wx1)
-        + gather(y0, x0 + 1) * (1 - wy1) * wx1
-        + gather(y0 + 1, x0) * wy1 * (1 - wx1)
-        + gather(y0 + 1, x0 + 1) * wy1 * wx1
-    )
+    py = _axis_profile(cy, offsets, H)  # (K, H)
+    px = _axis_profile(cx, offsets, W)  # (K, W)
+    rows = jnp.einsum("ah,hw->aw", py, heatmap,
+                      preferred_element_type=jnp.float32)
+    return jnp.einsum("aw,bw->ab", rows, px,
+                      preferred_element_type=jnp.float32).astype(heatmap.dtype)
 
 
 def find_peak(
