@@ -157,13 +157,30 @@ def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None)
     step = 0
     t_data, t_step = 0.0, 0.0
 
+    def device_batches(it, lookahead: int = 2):
+        """Host->device prefetch: issue the (async) sharded device_put of
+        the next batch while the current step computes, so the transfer
+        overlaps compute instead of serializing in front of every step
+        (jax.device_put returns immediately; the transfer completes in the
+        background).  Classic flax prefetch_to_device pattern."""
+        from collections import deque
+
+        pending = deque()
+        with mesh:
+            for batch in it:
+                pending.append(
+                    shard_batch(select_model_inputs(cfg, batch), mesh, cfg.MESH_AXIS)
+                )
+                if len(pending) >= lookahead:
+                    yield pending.popleft()
+            while pending:
+                yield pending.popleft()
+
     for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS):
         t0 = time.time()
-        for batch in loader:
+        for inputs in device_batches(loader):
             t_data += time.time() - t0
-            inputs = select_model_inputs(cfg, batch)
             with mesh:
-                inputs = shard_batch(inputs, mesh, cfg.MESH_AXIS)
                 dropout_rng, step_rng = jax.random.split(dropout_rng)
                 state, metrics = train_step(state, inputs, step_rng)
             step += 1
