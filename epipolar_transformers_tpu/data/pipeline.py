@@ -117,10 +117,25 @@ class DataLoader:
                 return
             yield batch_idx
 
-    def _producer(self, q: queue.Queue):
+    def _producer(self, q: queue.Queue, stop: threading.Event):
+        """Fill `q`; bail out promptly once `stop` is set.  A producer that
+        blocks indefinitely in q.put outlives early-exiting consumers
+        (max_steps smoke runs, capped eval) and a thread still parked in a
+        lock at interpreter shutdown is a fatal abort on CPython 3.12 —
+        so every put polls the stop flag."""
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         for batch_idx in self._batch_indices():
-            q.put(collate([self.dataset[int(i)] for i in batch_idx]))
-        q.put(None)
+            if not put(collate([self.dataset[int(i)] for i in batch_idx])):
+                return
+        put(None)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:
@@ -129,15 +144,26 @@ class DataLoader:
             self.epoch += 1
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=self._producer, args=(q,), daemon=True)
+        stop = threading.Event()
+        t = threading.Thread(target=self._producer, args=(q, stop), daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                break
-            yield batch
-        t.join()
-        self.epoch += 1
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+            self.epoch += 1
+        finally:
+            # consumer may leave early (break / GeneratorExit): release the
+            # producer and reap the thread
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
 
 
 def build_dataset(cfg, name: str):

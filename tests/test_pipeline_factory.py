@@ -174,3 +174,23 @@ def test_iteration_based_loader_shards_batches():
                    prefetch=0, shard_id=1, num_shards=2)
     for ba, bb in zip(a, b):
         assert ba["x"].shape == (2, 2) and bb["x"].shape == (2, 2)
+
+
+def test_prefetch_producer_reaped_on_early_exit():
+    """A consumer that stops early (max_steps / capped eval) must not leak a
+    producer thread blocked in queue.put — leaked lock-parked threads abort
+    CPython 3.12 at interpreter shutdown."""
+    import threading
+    import time
+
+    before = threading.active_count()
+    ds = _Const(1, 64)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, prefetch=2)
+    it = iter(loader)
+    next(it)  # producer now blocked on a full queue
+    it.close()  # early exit (what a break in a for-loop does)
+
+    deadline = time.time() + 6.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
