@@ -70,3 +70,16 @@ def make_camera_ring(n_views=4, radius=4000.0, target=(0.0, 0.0, 1000.0), focal=
 @pytest.fixture
 def camera_ring():
     return make_camera_ring()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_cache():
+    """Drop live compiled executables after each test module.
+
+    The suite compiles hundreds of programs; retained executables (with
+    baked-in constants) grow the process toward the machine's commit limit
+    and end in a native abort around test ~250 (no swap, overcommit=0).
+    The persistent on-disk compilation cache keeps any recompiles cheap.
+    """
+    yield
+    jax.clear_caches()
