@@ -85,6 +85,15 @@ class DatasetCatalog:
         # code paths with analytically known geometry).
         "synthetic_multiview_train": {"factory": "SyntheticMultiview", "is_train": True},
         "synthetic_multiview_val": {"factory": "SyntheticMultiview", "is_train": False},
+        # flagship-shape validation rig: more unique skeletons for training,
+        # and a genuinely held-out eval set (different skeleton seed)
+        "synthetic_flagship_train": {
+            "factory": "SyntheticMultiview", "is_train": True, "n_samples": 512,
+        },
+        "synthetic_flagship_val": {
+            "factory": "SyntheticMultiview", "is_train": False, "n_samples": 64,
+            "seed": 104729,
+        },
     }
 
     # the reference's YAMLs spell these with different case

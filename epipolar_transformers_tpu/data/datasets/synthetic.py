@@ -19,6 +19,9 @@ import numpy as np
 from ...config import Config
 from ...geometry.camera import neighbor_cameras
 from ...ops.heatmap import make_heatmap_grid
+from ..transforms.affine import affine_transform_pts, get_affine_transform
+
+_CLIP = 4.60517019  # -ln(0.01), reference keypoints2d.py:30
 
 
 def make_camera_ring(
@@ -68,6 +71,11 @@ class SyntheticMultiview:
         H, W = cfg.DATASETS.IMAGE_SIZE
         self.image_size = (int(H), int(W))
         self.num_joints = cfg.KEYPOINT.NUM_PTS
+        # train-time scale/rot augmentation (reference joints_dataset.py:309-314,
+        # composed into KRT exactly as cropK.dot(Rt), :334-337)
+        self.scale_factor = float(cfg.DATASETS.SCALE_FACTOR)
+        self.rot_factor = float(cfg.DATASETS.ROT_FACTOR)
+        self.augment = is_train and (self.scale_factor > 0 or self.rot_factor > 0)
         # focal scaled to the image so skeletons (lateral extent <~400mm at
         # 4000mm range) always project in-frame
         focal = 4.0 * min(self.image_size)
@@ -89,6 +97,14 @@ class SyntheticMultiview:
         self._joint_colors = np.stack(
             [self._hsv_to_rgb(h, 0.9, 1.0) for h in hues]
         ).astype(np.float32)
+        # constant background: every joint's clipped-Gaussian floor exp(-clip)
+        # times its color (contiguous, copied per render)
+        self._img_base = np.ascontiguousarray(
+            np.broadcast_to(
+                self._joint_colors.sum(0) * np.float32(np.exp(-_CLIP)),
+                (*self.image_size, 3),
+            ).astype(np.float32)
+        )
 
     @staticmethod
     def _hsv_to_rgb(h, s, v):
@@ -102,7 +118,7 @@ class SyntheticMultiview:
 
     # ------------------------------------------------------------ helpers
     def _skeleton(self, idx: int) -> np.ndarray:
-        rng = np.random.RandomState(self.seed * 100003 + idx)
+        rng = np.random.RandomState((self.seed * 100003 + idx) % (2 ** 32))
         center = np.array([0.0, 0.0, 1000.0]) + rng.uniform(-80, 80, 3)
         offsets = rng.uniform(-200.0, 200.0, (self.num_joints, 3))
         return center[None] + offsets
@@ -113,31 +129,129 @@ class SyntheticMultiview:
         x = (P @ Xh.T).T
         return x[:, :2] / x[:, 2:]
 
-    def _gauss_maps(self, grid, sigma, coords_xy, clip=4.60517019):
+    def _gauss_maps(self, grid, sigma, coords_xy, clip=_CLIP):
         """(J, h, w) Gaussian maps on a precomputed grid (keypoints2d.py:28-31).
 
         `grid` is (2, h, w) of (y, x) image coords already divided by
-        sigma*sqrt(2); `sigma` is the matching raw sigma.
+        sigma*sqrt(2); `sigma` is the matching raw sigma.  Full-grid einsum —
+        kept as the reference semantics for the fast path's parity test.
         """
         yx = coords_xy[:, ::-1]  # grid rows are (y, x)
         d = yx[:, :, None, None] / (sigma * np.sqrt(2)) - grid[None]
         dist = np.einsum("jchw,jchw->jhw", d, d)
         return np.exp(-np.clip(dist, 0, clip)).astype(np.float32)
 
+    def _windows(self, coords_xy, sigma, downsample, shape):
+        """Per-joint (y0, y1, x0, x1) map-index windows outside which the
+        clipped Gaussian is exactly exp(-clip) (dist >= clip)."""
+        H, W = shape
+        sig = sigma * np.sqrt(2.0)
+        rad = int(np.ceil(sig * np.sqrt(_CLIP) / downsample)) + 2
+        out = []
+        for x, y in coords_xy:
+            cy = (y - downsample / 2.0 + 0.5) / downsample
+            cx = (x - downsample / 2.0 + 0.5) / downsample
+            y0 = min(max(int(np.floor(cy)) - rad, 0), H)
+            y1 = min(max(int(np.ceil(cy)) + rad + 1, 0), H)
+            x0 = min(max(int(np.floor(cx)) - rad, 0), W)
+            x1 = min(max(int(np.ceil(cx)) + rad + 1, 0), W)
+            out.append((y0, y1, x0, x1))
+        return out
+
+    def _gauss_maps_fast(self, grid, sigma, coords_xy, downsample, clip=_CLIP):
+        """Windowed equivalent of `_gauss_maps`: fill with the clip floor
+        exp(-clip), then evaluate the Gaussian only on a per-joint window that
+        provably contains every pixel with dist < clip.  ~100x cheaper at
+        256px than the full-grid einsum, identical output (tested)."""
+        _, H, W = grid.shape
+        J = len(coords_xy)
+        floor = np.float32(np.exp(-clip))
+        out = np.full((J, H, W), floor, dtype=np.float32)
+        sig = sigma * np.sqrt(2.0)
+        yx = coords_xy[:, ::-1] / sig
+        for j, (y0, y1, x0, x1) in enumerate(
+            self._windows(coords_xy, sigma, downsample, (H, W))
+        ):
+            if y0 >= y1 or x0 >= x1:
+                continue
+            g = grid[:, y0:y1, x0:x1]
+            dy = yx[j, 0] - g[0]
+            dx = yx[j, 1] - g[1]
+            dist = dy * dy + dx * dx
+            out[j, y0:y1, x0:x1] = np.exp(-np.clip(dist, 0, clip))
+        return out
+
     def _render_image(self, pts2d: np.ndarray) -> np.ndarray:
-        maps = self._gauss_maps(self._img_grid, 3.0, pts2d)  # (J, H, W)
-        img = np.einsum("jhw,jc->hwc", maps, self._joint_colors).astype(np.float32)
-        return np.clip(img, 0.0, 1.0)
+        """Additive color splats: background = exp(-clip)*sum(colors) (the
+        clipped-Gaussian floor every joint contributes), windows add the
+        in-range Gaussian minus that floor.  Equals the full
+        einsum('jhw,jc->hwc') render to float tolerance."""
+        H, W = self.image_size
+        floor = np.float32(np.exp(-_CLIP))
+        img = self._img_base.copy()
+        sig = 3.0 * np.sqrt(2.0)
+        yx = pts2d[:, ::-1] / sig
+        for j, (y0, y1, x0, x1) in enumerate(
+            self._windows(pts2d, 3.0, 1, (H, W))
+        ):
+            if y0 >= y1 or x0 >= x1:
+                continue
+            g = self._img_grid[:, y0:y1, x0:x1]
+            dy = yx[j, 0] - g[0]
+            dx = yx[j, 1] - g[1]
+            dist = dy * dy + dx * dx
+            val = np.exp(-np.clip(dist, 0, _CLIP)) - floor
+            win = img[y0:y1, x0:x1]
+            win += val[..., None].astype(np.float32) * self._joint_colors[j]
+            # only splatted pixels can exceed 1 (the base floor sums well
+            # below it), so clip windows in place instead of the full image
+            np.clip(win, 0.0, 1.0, out=win)
+        return img
+
+    def _draw_aug(self):
+        """Draw a train-time (scale, rotation) jitter exactly as the reference
+        does (joints_dataset.py:309-314): scale ~ clip(N(1, sf), 1-sf, 1+sf),
+        rotation ~ clip(N(0, rf), -2rf, 2rf) with probability 0.6 else 0."""
+        sf, rf = self.scale_factor, self.rot_factor
+        scale = float(np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf))
+        rotation = float(np.clip(np.random.randn() * rf, -rf * 2, rf * 2)) \
+            if np.random.rand() <= 0.6 else 0.0
+        return scale, rotation
 
     def _view_dict(self, view: int, X: np.ndarray) -> Dict[str, np.ndarray]:
         pts2d = self._project(view, X)
-        heatmap = self._gauss_maps(self._hm_grid, self.sigma, pts2d)  # (J, h, w)
+        K = self.rig["K"][view]
+        KRT = self.rig["KRT"][view]
+        visibility = np.ones(self.num_joints, dtype=np.float32)
+        if self.augment:
+            # 2D affine about the image center composed into the camera,
+            # mirroring cropK = [trans; 0 0 1] @ K; KRT = cropK @ Rt
+            # (joints_dataset.py:334-337) — geometry stays exact under aug.
+            H, W = self.image_size
+            scale, rotation = self._draw_aug()
+            base_scale = np.array([W / 200.0, H / 200.0]) * scale
+            trans = get_affine_transform(
+                np.array([W / 2.0, H / 2.0]), base_scale, rotation, (W, H)
+            )
+            A = np.concatenate([trans, [[0.0, 0.0, 1.0]]], axis=0)
+            K = A @ K
+            KRT = A @ KRT
+            pts2d = affine_transform_pts(pts2d, trans)
+            inside = (
+                (pts2d[:, 0] >= 0) & (pts2d[:, 0] < W)
+                & (pts2d[:, 1] >= 0) & (pts2d[:, 1] < H)
+            )
+            visibility = inside.astype(np.float32)
+        heatmap = self._gauss_maps_fast(
+            self._hm_grid, self.sigma, pts2d, self.downsample
+        )  # (J, h, w)
+        heatmap *= visibility[:, None, None]
         return {
             "img": self._render_image(pts2d),
             "heatmap": heatmap.transpose(1, 2, 0),  # (h, w, J) NHWC
-            "visibility": np.ones(self.num_joints, dtype=np.float32),
-            "KRT": self.rig["KRT"][view].astype(np.float32),
-            "K": self.rig["K"][view].astype(np.float32),
+            "visibility": visibility,
+            "KRT": KRT.astype(np.float32),
+            "K": K.astype(np.float32),
             "RT": self.rig["RT"][view].astype(np.float32),
             "points-2d": pts2d.astype(np.float32),
             "camera": np.int32(view),

