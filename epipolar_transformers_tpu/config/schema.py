@@ -311,3 +311,60 @@ def update_from_dict(node, d: Mapping[str, Any]):
         else:
             updates[key] = _freeze(value)
     return dataclasses.replace(node, **updates)
+
+
+# --------------------------------------------------------------------------- #
+# Options that are accepted (so every reference YAML parses) but that no code
+# consumes — each with the reason.  tests/test_dead_flags.py audits that every
+# schema option is either consumed by non-test source or listed here, so a new
+# option can never be silently swallowed.
+#
+# "dead in reference": the reference defines the flag but nothing reads it
+# (verified by grep over /root/reference, file:line notes below).
+# "n/a by design": the reference behavior exists here but is provided by a
+# different mechanism, so the knob has nothing to control.
+# --------------------------------------------------------------------------- #
+UNCONSUMED_OPTIONS = {
+    # reference resnet.py:511-517 falls back to a torch model-zoo *download*
+    # when the path is empty; with an explicit path it IS consumed (see
+    # utils/pretrained.py:load_backbone_pretrained) — listed for the
+    # zoo-download default which needs network access.
+    "BACKBONE.SYNC_BN": (
+        "n/a by design: BN batch moments are global-batch reductions under "
+        "jit+GSPMD (models/resnet.py _norm, tests/test_syncbn_equivalence.py) "
+        "— the reference's convert-to-SyncBN switch (model.py:56) has nothing "
+        "to convert"
+    ),
+    "LIFTING.VIEW_ON": "dead in reference (defined core/config.py, no reader)",
+    "EPIPOLAR.TOPK_RANGE": "dead in reference (no reader)",
+    "EPIPOLAR.SOFTMAXBETA": "dead in reference (no reader)",
+    "EPIPOLAR.SIM_LOSS_WEIGHT": "dead in reference (no reader)",
+    "PICT_STRUCT.TEST_PAIRWISE": "dead in reference (no reader)",
+    "PICT_STRUCT.SHOW_ORIIMG": "dead in reference (no reader)",
+    "PICT_STRUCT.SHOW_CROPIMG": "dead in reference (no reader)",
+    "PICT_STRUCT.SHOW_HEATIMG": "dead in reference (no reader)",
+    "DATASETS.COMPLETENESS": "dead in reference (no reader)",
+    "DATASETS.CROP_AFTER_RESIZE": (
+        "dead in reference: the BaseDataset transform it configures "
+        "(base_dataset.py:52-59) is overwritten by JointsDataset.__init__ "
+        "(joints_dataset.py:46) for every concrete dataset, and RHD builds "
+        "its own crop pipeline"
+    ),
+    "DATASETS.INCLUDE_GREY_IMGS": "dead in reference (no reader)",
+    "DATALOADER.NUM_WORKERS": (
+        "n/a by design: the thread-prefetch DataLoader (data/pipeline.py) "
+        "sizes itself; torch worker processes do not exist"
+    ),
+    "DATALOADER.PIN_MEMORY": (
+        "n/a by design: host->device transfer is jax.device_put with async "
+        "prefetch (engine/trainer.py device_batches); no pinned staging"
+    ),
+    "SOLVER.FINETUNE_FREEZE": (
+        "dead in reference (defined core/config.py:212, no reader; the live "
+        "flag is SOLVER.FINETUNE, implemented in models/hourglass.py)"
+    ),
+    "DEVICE": (
+        "n/a by design: JAX owns device placement (jax.devices()); "
+        "the reference's torch.device(cfg.DEVICE) has no analog"
+    ),
+}

@@ -100,6 +100,12 @@ class MultiViewH36M(JointsDataset):
             for k in ("img", "KRT", "heatmap"):
                 if k in other:
                     ret["other_" + k] = other[k]
+            if cfg.VIS.MULTIVIEWH36M:
+                # headless analog of the reference's in-dataset epipolar
+                # debug plot (multiview_h36m.py:159-243)
+                from ...vis.visualization import dump_epipolar_debug_pair
+
+                dump_epipolar_debug_pair(cfg, ret, idx)
             return ret
 
         # test: all views stacked + nearest other per view

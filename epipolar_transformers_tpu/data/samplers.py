@@ -15,6 +15,11 @@ class IterationBasedBatchSampler:
 
     def __init__(self, dataset_size: int, batch_size: int, num_iterations: int,
                  shuffle: bool = True, seed: int = 0, start_iter: int = 0):
+        if dataset_size < batch_size:
+            raise ValueError(
+                f"dataset_size ({dataset_size}) < batch_size ({batch_size}): "
+                "no full batch can ever be formed, __iter__ would spin forever"
+            )
         self.dataset_size = dataset_size
         self.batch_size = batch_size
         self.num_iterations = num_iterations

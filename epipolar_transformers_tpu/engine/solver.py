@@ -13,8 +13,12 @@ from ..config import Config
 
 def make_lr_schedule(cfg: Config, steps_per_epoch: int):
     """MultiStepLR: lr * GAMMA**(#milestones passed), stepped per epoch
-    (reference solver.py:16-19 + trainer.py:123)."""
+    (reference solver.py:16-19 + trainer.py:123).  Any other
+    SOLVER.SCHEDULER fails loudly, exactly like the reference
+    (solver.py:20-21 raises NotImplementedError)."""
     s = cfg.SOLVER
+    if s.SCHEDULER != "multistep":
+        raise NotImplementedError(f"SOLVER.SCHEDULER={s.SCHEDULER!r}")
     boundaries = {int(e) * steps_per_epoch: s.GAMMA for e in s.STEPS}
     return optax.piecewise_constant_schedule(s.BASE_LR, boundaries)
 

@@ -143,8 +143,59 @@ def _triangulate(cfg: Config, group, locs, scores, out) -> np.ndarray:
     raise NotImplementedError(mode)
 
 
+def _test_lifting(cfg: Config, state, max_batches: Optional[int] = None) -> Dict[str, float]:
+    """Lifting-task evaluation: the model computes its own metric dict
+    (EPEmean_can / EPEmean / EPEmean_global) which is aggregated as-is,
+    mirroring the reference tester loop (tester.py:131-137) where
+    `loss_dict, metric_dict, _ = model(batch, is_train=False)` feeds the
+    MetricLogger directly.  Under VIS.MULTIVIEW, (1, V, ...) view-group
+    batches are squeezed so views form the device batch
+    (reference model.py:161-165)."""
+    from .trainer import select_model_inputs
+
+    loaders = make_data_loader(cfg, is_train=False)
+    meters = MetricLogger()
+
+    def eval_step(params, batch_stats, inputs):
+        variables = {"params": params, "batch_stats": batch_stats}
+        loss_dict, metric_dict, _ = state.apply_fn(variables, inputs, is_train=False)
+        return loss_dict, metric_dict
+
+    eval_step = jax.jit(eval_step)
+    for loader in loaders:
+        for ib, batch in enumerate(loader):
+            if max_batches is not None and ib >= max_batches:
+                break
+            if cfg.VIS.MULTIVIEW:
+                batch = {
+                    k: (v[0] if hasattr(v, "shape") and v.ndim > 0 and v.shape[0] == 1 else v)
+                    for k, v in batch.items()
+                }
+            inputs = select_model_inputs(cfg, batch)
+            if cfg.VIS.MULTIVIEW and "points-3d" in batch:
+                inputs["points-3d"] = batch["points-3d"]
+            loss_dict, metric_dict = eval_step(state.params, state.batch_stats, inputs)
+            meters.update(**{k: float(v) for k, v in {**loss_dict, **metric_dict}.items()})
+    results = meters.get_all_avg()
+    logger.info("eval: %s", results)
+    return results
+
+
+def _dump_gt_frames(cfg: Config, group, tag: str, idx: int) -> None:
+    """VIS.VIDEO_GT: ground-truth skeleton overlay frames, no model run
+    (reference tester.py:100-128 draws batchdata['points-2d'] over the raw
+    image and skips inference for the batch)."""
+    from ..vis.visualization import dump_eval_frames
+
+    gt2d = np.asarray(group["points-2d"], dtype=np.float64)
+    out_cfg = cfg.replace(OUTPUT_DIR=os.path.join(cfg.OUTPUT_DIR, "video_gt"))
+    dump_eval_frames(out_cfg, group, gt2d, tag, idx)
+
+
 def test(cfg: Config, state, max_batches: Optional[int] = None) -> Dict[str, float]:
     """Run evaluation; returns averaged metrics (reference tester.py:216-227)."""
+    if cfg.LIFTING.ENABLED:
+        return _test_lifting(cfg, state, max_batches)
     if cfg.TEST.RECOMPUTE_BN:
         state = recompute_bn(cfg, state, max_batches)
     loaders = make_data_loader(cfg, is_train=False)
@@ -160,6 +211,11 @@ def test(cfg: Config, state, max_batches: Optional[int] = None) -> Dict[str, flo
             # test batches are (B=1, V, ...) view groups; squeeze the batch
             # dim so views become the device batch (reference model.py:161-165)
             group = {k: v[0] for k, v in batch.items()}
+            if cfg.VIS.VIDEO_GT:
+                # GT-overlay debug mode: dump frames, skip inference
+                # (reference tester.py:100-128)
+                _dump_gt_frames(cfg, group, f"ds{loaders.index(loader)}", ib)
+                continue
             inputs = {
                 k: group[k]
                 for k in ("img", "KRT", "other_img", "other_KRT", "camera",

@@ -14,6 +14,7 @@ Equivalent of reference engine/trainer.py:18-141, redesigned TPU-first:
 from __future__ import annotations
 
 import logging
+import os
 import time
 from functools import partial
 from typing import Any, Dict, Optional
@@ -144,16 +145,33 @@ def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None)
     # foreign-format WEIGHTS (.pth/.pickle) were already imported by
     # apply_pretrained inside create_train_state; only a native .ckpt goes
     # through the Checkpointer (whose last_checkpoint resume still wins).
+    # WEIGHTS_LOAD_OPT=False restores model weights only (reference
+    # trainer.py:34, checkpoint.py:62-68).
     native_weights = cfg.WEIGHTS if cfg.WEIGHTS.endswith(".ckpt") else None
-    restored, extra = checkpointer.load(state, native_weights)
+    restored, extra = checkpointer.load(
+        state, native_weights, load_opt=cfg.WEIGHTS_LOAD_OPT
+    )
     if restored is not None:
         state = restored
         start_epoch = int(extra.get("epoch", 0))
         logger.info("Resumed from epoch %d", start_epoch)
+    elif native_weights:
+        logger.warning(
+            "cfg.WEIGHTS=%r was not loaded (missing file and no "
+            "last_checkpoint) — training from scratch", cfg.WEIGHTS,
+        )
 
     train_step = make_train_step(cfg)
     meters = MetricLogger()
-    tb = TensorboardWriter(cfg.OUTPUT_DIR, enabled=cfg.TENSORBOARD.USE)
+    # TENSORBOARD.COMMENT names the event folder (reference main.py:41-44
+    # FOLDER_NAME = OUTPUT_DIR/<comment>-<timestamp>)
+    tb_dir = cfg.OUTPUT_DIR
+    if cfg.TENSORBOARD.COMMENT and cfg.OUTPUT_DIR:
+        tb_dir = os.path.join(
+            cfg.OUTPUT_DIR,
+            f"{cfg.TENSORBOARD.COMMENT}-{time.strftime('%Y-%m-%d-%H-%M')}",
+        )
+    tb = TensorboardWriter(tb_dir, enabled=cfg.TENSORBOARD.USE)
     step = 0
     t_data, t_step = 0.0, 0.0
 

@@ -28,7 +28,7 @@ from ..losses.heatmap_loss import (
     joints_mse_loss,
     keypoints_mse_smooth_loss,
 )
-from ..metrics.metrics3d import epe_mean
+from ..metrics.metrics3d import epe_mean, epe_mean_multiview_gt
 from .lifting import LiftingNet
 from .registry import BACKBONES
 
@@ -219,7 +219,8 @@ class ModelBuilder(nn.Module):
                 feat = scoremap
 
             coords, R, normed, global_pred = self.liftingnet(
-                feat, hand_side, inputs.get("R"), train=is_train
+                feat, hand_side, inputs.get("R"), train=is_train,
+                multiview=(not is_train) and c.VIS.MULTIVIEW,
             )
             out = {"can_pred": coords}
             if R is not None:
@@ -248,6 +249,43 @@ class ModelBuilder(nn.Module):
                     normed, normed_target, vis2, inputs.get("scale"), inputs.get("unit"),
                     max_dist=c.TEST.EPEMEAN_MAX_DIST,
                 )
+                if (
+                    (not is_train) and c.VIS.MULTIVIEW
+                    and global_pred is not None and "points-3d" in inputs
+                ):
+                    # multiview global-frame fusion (reference model.py:461-476):
+                    # under the VIS.MULTIVIEW squeeze the batch axis is the
+                    # view axis of ONE sample; global targets/predictions are
+                    # made relative to view 0's prediction / the root joint,
+                    # then fused by mean (or lower-median) over views, or
+                    # bounded by the nearest-to-GT oracle.
+                    unit = inputs.get("unit")
+                    unit0 = unit[0] if unit is not None and jnp.ndim(unit) >= 1 else unit
+                    scale = inputs.get("scale")
+                    kp_scale = scale[:, None] if scale is not None else 1.0
+                    target_global = inputs["points-3d"]
+                    tg = target_global[0]
+                    tg = tg - tg[0]
+                    gp = (global_pred - global_pred[0]) * kp_scale[..., None]
+                    if c.LIFTING.MULTIVIEW_UPPERBOUND:
+                        if target.shape[1] < 100:
+                            metric_dict["EPEmean_global"] = epe_mean_multiview_gt(
+                                gp, tg, vis2, unit=unit0 if unit0 is not None else 1.0,
+                            )
+                    else:
+                        if c.LIFTING.MULTIVIEW_MEDIUM:
+                            # torch .median(0) = LOWER median (no averaging
+                            # of the two middle views), reference lifting
+                            # fusion at model.py:472-473
+                            V = gp.shape[0]
+                            fused = jnp.sort(gp, axis=0)[(V - 1) // 2]
+                        else:
+                            fused = jnp.mean(gp, axis=0)
+                        if target.shape[1] < 100:
+                            metric_dict["EPEmean_global"], _ = epe_mean(
+                                fused, tg, vis2[0], unit=unit0,
+                                max_dist=c.TEST.EPEMEAN_MAX_DIST,
+                            )
         else:
             raise NotImplementedError(task)
 

@@ -257,22 +257,32 @@ class HourglassNet(nn.Module):
             # it is what a sibling single-view net hands to the multiview net's
             # per-merge-point fusion, so content/count per stack must match
             # (early/none: raw stack input; late: fused tower output; both: both)
+            # SOLVER.FINETUNE: stop the gradient at the fusion boundary so
+            # finetuning trains only the downstream heads (reference
+            # ProHG.py:246,255,268 detach_() per merge mode)
             merge = c.EPIPOLAR.MERGE
+            finetune = c.SOLVER.FINETUNE
             if merge == "early":
                 fused, corr_pos, depth, sample_locs = get_other_feat(feat_cnt, h)
                 feat_cnt += 1
+                if finetune:
+                    fused = jax.lax.stop_gradient(fused)
                 feature = tower(fused)
                 features.append(h)
             elif merge == "both":
                 fused, corr_pos, depth, sample_locs = get_other_feat(feat_cnt, h)
                 feat_cnt += 1
                 features.append(h)
+                if finetune:
+                    fused = jax.lax.stop_gradient(fused)
                 feature = tower(fused)
                 feature, corr_pos, depth, sample_locs = get_other_feat(feat_cnt, feature)
                 feat_cnt += 1
                 features.append(feature)
             elif merge == "late":
                 feature = tower(h)
+                if finetune:
+                    feature = jax.lax.stop_gradient(feature)
                 feature, corr_pos, depth, sample_locs = get_other_feat(feat_cnt, feature)
                 feat_cnt += 1
                 features.append(feature)

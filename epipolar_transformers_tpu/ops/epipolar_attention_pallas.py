@@ -26,8 +26,12 @@ Mosaic constraints shaping the code (probed on hardware):
     the layout its contraction needs (yprof as (Q, H, K), xprof as (Q, K, W));
   * batched dot_general (batch dim 0) and broadcasted_iota lower fine.
 
-Forward-only: the kernel is used for inference (bench, eval); training
-takes the autodiff-able matmul path (models/epipolar.py dispatch).
+Forward-only and NOT wired into any production dispatch: the Mosaic
+toolchain currently fails to lower the profile-construction pattern on
+real TPUs (see PERF.md "Pallas status"), so this kernel is validated in
+interpreter mode only (tests/test_pallas_kernel.py) and production
+inference/training both take the autodiff-able matmul path
+(models/epipolar.py dispatch).
 """
 
 from __future__ import annotations

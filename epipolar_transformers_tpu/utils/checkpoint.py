@@ -46,12 +46,19 @@ class Checkpointer:
         logger.info("Saved checkpoint to %s", path)
 
     # -------------------------------------------------- load
-    def load(self, template: Any, path: Optional[str] = None):
+    def load(self, template: Any, path: Optional[str] = None,
+             load_opt: bool = True):
         """Restore into the structure of `template`.
 
         Resolution order mirrors the reference (checkpoint.py:54-57): an
         existing `last_checkpoint` tag wins over the explicit `path`.
         Returns (state, extra) or (None, {}) when nothing to load.
+
+        Args:
+            load_opt: WEIGHTS_LOAD_OPT semantics (reference trainer.py:34,
+                checkpoint.py:62-68) — when False, restore model weights
+                (params + batch_stats) only, keeping the template's fresh
+                optimizer state and step counter.
         """
         if self.has_checkpoint():
             path = os.path.join(self.save_dir, self.get_checkpoint_file())
@@ -60,7 +67,15 @@ class Checkpointer:
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         state = serialization.from_state_dict(template, payload["state"])
-        logger.info("Loaded checkpoint from %s", path)
+        if not load_opt and hasattr(state, "params") and hasattr(template, "replace"):
+            state = template.replace(
+                params=state.params,
+                batch_stats=getattr(state, "batch_stats", None),
+            )
+            logger.info("Loaded model weights only (WEIGHTS_LOAD_OPT=False) "
+                        "from %s", path)
+        else:
+            logger.info("Loaded checkpoint from %s", path)
         return state, payload.get("extra", {})
 
     # -------------------------------------------------- tag file

@@ -126,11 +126,54 @@ def load_single_view_pretrained(cfg, variables):
     return variables
 
 
+def load_backbone_pretrained(cfg, variables):
+    """BACKBONE.PRETRAINED + BACKBONE.PRETRAINED_WEIGHTS: initialize every
+    PoseResNet trunk from an explicit torch checkpoint at construction
+    (reference resnet.py:511-517 -> init_weights:439-471).  final_layer is
+    excluded (reference passes ignored_layers=['final_layer.*']); the
+    model-zoo ImageNet fallback for an empty path needs network access and
+    is covered by the BackboneCatalog path instead."""
+    if not (cfg.BACKBONE.PRETRAINED and cfg.BACKBONE.PRETRAINED_WEIGHTS):
+        return variables
+    path = cfg.BACKBONE.PRETRAINED_WEIGHTS
+    if not os.path.exists(path):
+        logger.warning(
+            "BACKBONE.PRETRAINED_WEIGHTS=%r does not exist — backbone keeps "
+            "random init", path)
+        return variables
+    sd = load_torch_state_dict(path)
+    sd = {k: v for k, v in sd.items()
+          if not k.split("module.")[-1].startswith("final_layer.")}
+    # every trunk the builder constructed gets the weights, mirroring the
+    # per-instance init_weights call in the reference registry factory
+    for sub in ("backbone", "reference"):
+        if sub in variables.get("params", {}):
+            variables, missing = load_into_variables(
+                variables, sd,
+                prefix=cfg.WEIGHTS_PREFIX,
+                prefix_replace=cfg.WEIGHTS_PREFIX_REPLACE,
+                submodule=sub,
+                allow_diff_prefix=cfg.WEIGHTS_ALLOW_DIFF_PREFIX,
+            )
+            logger.info("BACKBONE.PRETRAINED_WEIGHTS: imported into %s "
+                        "(%d leaves kept init)", sub, len(missing))
+    return variables
+
+
 def load_cfg_weights(cfg, variables):
     """Import `cfg.WEIGHTS` when it is a foreign format (.pth torch, .pickle
     TF). Native .ckpt resume is the Checkpointer's job."""
     path = cfg.WEIGHTS
-    if not path or not os.path.exists(path):
+    if not path:
+        return variables, False
+    if not os.path.exists(path):
+        if not path.endswith(".ckpt"):
+            # a native .ckpt goes through the Checkpointer later; anything
+            # else missing here means nothing will ever load it
+            logger.warning(
+                "cfg.WEIGHTS=%r does not exist — proceeding from random init",
+                path,
+            )
         return variables, False
     ext = os.path.splitext(path)[1]
     if ext == ".pth":
@@ -139,6 +182,7 @@ def load_cfg_weights(cfg, variables):
             variables, sd,
             prefix=cfg.WEIGHTS_PREFIX,
             prefix_replace=cfg.WEIGHTS_PREFIX_REPLACE,
+            allow_diff_prefix=cfg.WEIGHTS_ALLOW_DIFF_PREFIX,
         )
         logger.info("Imported torch weights from %s (%d leaves kept init)",
                     path, len(missing))
@@ -157,11 +201,17 @@ def load_cfg_weights(cfg, variables):
         logger.info("Imported external weights from %s (%d leaves kept init)",
                     path, len(missing))
         return variables, True
+    if ext != ".ckpt":
+        logger.warning(
+            "cfg.WEIGHTS=%r has unrecognized extension %r (expect .pth / "
+            ".pickle / native .ckpt) — nothing loaded", path, ext,
+        )
     return variables, False
 
 
 def apply_pretrained(cfg, variables):
     """Full construction-time initialization chain. Returns new variables."""
+    variables = load_backbone_pretrained(cfg, variables)
     variables = load_single_view_pretrained(cfg, variables)
     variables, _ = load_cfg_weights(cfg, variables)
     return variables

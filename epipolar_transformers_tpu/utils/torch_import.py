@@ -40,17 +40,25 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def strip_prefix(sd: Dict[str, np.ndarray], prefix: str = "",
-                 prefix_replace: str = "") -> Dict[str, np.ndarray]:
-    """reference model_serialization.py:59-76."""
+                 prefix_replace: str = "", allow_diff_prefix: bool = False
+                 ) -> Dict[str, np.ndarray]:
+    """reference model_serialization.py:59-76.
+
+    When not every key carries `prefix`: with `allow_diff_prefix`
+    (WEIGHTS_ALLOW_DIFF_PREFIX) the non-matching keys are DROPPED and the
+    matching ones stripped; without it the dict is returned untouched
+    (reference model_serialization.py:62-66)."""
     if not prefix:
         return dict(sd)
-    out = {}
-    for k, v in sd.items():
-        if k.startswith(prefix):
-            out[prefix_replace + k[len(prefix):]] = v
-        else:
-            out[k] = v
-    return out
+    if not all(k.startswith(prefix) for k in sd):
+        import warnings
+
+        warnings.warn(f"Not all keys contain the prefix {prefix!r}")
+        if not allow_diff_prefix:
+            return dict(sd)
+        return {prefix_replace + k[len(prefix):]: v
+                for k, v in sd.items() if k.startswith(prefix)}
+    return {prefix_replace + k[len(prefix):]: v for k, v in sd.items()}
 
 
 # ---------------------------------------------------------------- name rules
@@ -133,12 +141,13 @@ def convert_state_dict(
     torch_sd: Dict[str, np.ndarray],
     prefix: str = "",
     prefix_replace: str = "",
+    allow_diff_prefix: bool = False,
 ):
     """Torch state dict -> ({params path: array}, {batch_stats path: array}).
 
     Paths are '/'-joined flax module paths.
     """
-    sd = strip_prefix(torch_sd, prefix, prefix_replace)
+    sd = strip_prefix(torch_sd, prefix, prefix_replace, allow_diff_prefix)
     params, stats = {}, {}
     for key, value in sd.items():
         path, leaf, kind = torch_key_to_flax_path(key)
@@ -220,6 +229,7 @@ def load_into_variables(
     prefix: str = "",
     prefix_replace: str = "",
     submodule: str = "",
+    allow_diff_prefix: bool = False,
 ):
     """Return a copy of flax `variables` with weights imported from torch.
 
@@ -228,7 +238,8 @@ def load_into_variables(
         submodule: optional flax path prefix (e.g. 'reference') the torch
             keys should land under.
     """
-    params_src, stats_src = convert_state_dict(torch_sd, prefix, prefix_replace)
+    params_src, stats_src = convert_state_dict(
+        torch_sd, prefix, prefix_replace, allow_diff_prefix)
     if submodule:
         params_src = {f"{submodule}/{k}": v for k, v in params_src.items()}
         stats_src = {f"{submodule}/{k}": v for k, v in stats_src.items()}

@@ -147,6 +147,63 @@ def dump_eval_frames(cfg, group: Dict[str, np.ndarray], locs: np.ndarray,
     return n
 
 
+def dump_epipolar_debug_pair(cfg, ret: Dict[str, np.ndarray], idx: int) -> Optional[str]:
+    """VIS.MULTIVIEWH36M: headless analog of the reference's in-dataset
+    matplotlib debug view (multiview_h36m.py:159-243) — side-by-side
+    ref/other frames with GT 2D keypoints (red), the GT 3D reprojection
+    into the other view (red on green), and the epipolar lines of a probe
+    column transferred through the fundamental matrix.  Written to
+    OUTPUT_DIR/debug_multiview/%08d.png."""
+    import cv2
+
+    if not cfg.OUTPUT_DIR:
+        return None
+    from ..data.transforms.affine import de_normalize_image
+    from ..geometry.camera import fundamental_matrix
+
+    img1 = np.clip(de_normalize_image(np.asarray(ret["img"])) * 255,
+                   0, 255).astype(np.uint8)[..., ::-1]
+    img2 = np.clip(de_normalize_image(np.asarray(ret["other_img"])) * 255,
+                   0, 255).astype(np.uint8)[..., ::-1]
+    f1, f2 = np.ascontiguousarray(img1), np.ascontiguousarray(img2)
+    H, W = f1.shape[:2]
+    P1 = np.asarray(ret["KRT"], np.float64)
+    P2 = np.asarray(ret["other_KRT"], np.float64)
+    F = np.asarray(fundamental_matrix(P1, P2))
+
+    for x, y in np.asarray(ret["points-2d"]).reshape(-1, 2):
+        cv2.circle(f1, (int(x), int(y)), 3, (0, 0, 255), -1)
+    if "points-3d" in ret:
+        X = np.asarray(ret["points-3d"], np.float64).reshape(-1, 3)
+        proj = (P2 @ np.concatenate([X, np.ones((len(X), 1))], 1).T)
+        proj = (proj[:2] / proj[2]).T
+        for x, y in proj:
+            if np.isfinite([x, y]).all():
+                cv2.circle(f2, (int(x), int(y)), 3, (0, 0, 255), -1)
+
+    # probe column in view 1 -> epipolar lines in view 2 (reference's
+    # test_points at x=128, y in linspace)
+    n = 8
+    probes = np.stack([np.full(n, W // 2), np.linspace(10, H - 10, n),
+                       np.ones(n)], axis=1)
+    lines = (F @ probes.T).T
+    for i, l in enumerate(lines):
+        if abs(l[1]) < 1e-12:
+            continue
+        x0, x1 = 0, W - 1
+        y0 = int((-l[2] - l[0] * x0) / l[1])
+        y1 = int((-l[2] - l[0] * x1) / l[1])
+        color = tuple(int(c) for c in np.array([60 + 24 * i, 255 - 24 * i, 80]))
+        cv2.line(f2, (x0, y0), (x1, y1), color, 1, cv2.LINE_AA)
+        cv2.circle(f1, (int(probes[i, 0]), int(probes[i, 1])), 3, color, -1)
+
+    out_dir = os.path.join(cfg.OUTPUT_DIR, "debug_multiview")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{idx:08d}.png")
+    cv2.imwrite(path, np.concatenate([f1, f2], axis=1))
+    return path
+
+
 def visualization(cfg):
     """CLI visualization dispatch (reference main.py:65-72 ->
     vision/visualization.py:319-643), keyed by the VIS.* flags:
@@ -184,7 +241,12 @@ def visualization(cfg):
 
     if cfg.VIS.VIDEO:
         video_root = os.path.join(out_dir, "video")
-        for tag in sorted(os.listdir(video_root)) if os.path.isdir(video_root) else []:
+        tags = (
+            [t for t in sorted(os.listdir(video_root))
+             if os.path.isdir(os.path.join(video_root, t))]
+            if os.path.isdir(video_root) else []
+        )  # a prior run's <tag>.mp4 files live alongside the tag dirs
+        for tag in tags:
             view_dirs = sorted(
                 os.path.join(video_root, tag, d)
                 for d in os.listdir(os.path.join(video_root, tag))

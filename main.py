@@ -117,11 +117,18 @@ def _dispatch(cfg, args, run_train, run_test, logger):
             # (.pth/.pickle) and catalog pretrained backbones
             state = create_train_state(cfg, jax.random.PRNGKey(cfg.SEED), sample)
             native = cfg.WEIGHTS if cfg.WEIGHTS.endswith(".ckpt") else None
-            restored, _ = Checkpointer(cfg.OUTPUT_DIR).load(state, native)
+            restored, _ = Checkpointer(cfg.OUTPUT_DIR).load(
+                state, native, load_opt=cfg.WEIGHTS_LOAD_OPT)
             if restored is not None:
                 state = restored
             elif not cfg.WEIGHTS:
                 logger.warning("no checkpoint found; evaluating fresh init")
+            elif native:
+                # a set-but-unloadable WEIGHTS means garbage metrics; say so
+                # loudly (foreign .pth/.pickle warn inside load_cfg_weights)
+                logger.warning(
+                    "cfg.WEIGHTS=%r was not loaded (missing file and no "
+                    "last_checkpoint) — evaluating fresh init", cfg.WEIGHTS)
         results = run_test(cfg, state, max_batches=args.max_eval_batches)
         print("RESULTS:", {k: round(v, 4) for k, v in sorted(results.items())})
         _maybe_visualize(cfg)

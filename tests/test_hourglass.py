@@ -88,3 +88,59 @@ def test_meta_layer(camera_ring):
     oKRT2 = jnp.asarray(np.stack([camera_ring["KRT"][2]] * 2))
     out2 = model.apply(variables, KRT, oKRT2, x)
     assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-6
+
+
+@pytest.mark.parametrize("merge", ["late", "early", "both"])
+def test_finetune_stops_gradient_at_fusion(camera_ring, merge):
+    """SOLVER.FINETUNE detaches the fused feature per merge mode (reference
+    ProHG.py:246,255,268): with it on, the trunk below the detach point gets
+    exactly zero gradient while the post-fusion heads still train."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    n_other = 2 if merge == "both" else 1
+    other = [jnp.asarray(rng.randn(1, 16, 16, 64).astype(np.float32))
+             for _ in range(n_other)]
+    KRT = jnp.asarray(camera_ring["KRT"][0][None].astype(np.float32))
+    oKRT = jnp.asarray(camera_ring["KRT"][1][None].astype(np.float32))
+
+    def grads_for(finetune):
+        cfg = _cfg("epipolarHG11", MERGE=merge)
+        cfg = update_from_dict(cfg, {"SOLVER": {"FINETUNE": finetune}})
+        model = HourglassNet(cfg)
+        variables = model.init(jax.random.PRNGKey(0), x, other_features=other,
+                               KRT=KRT, other_KRT=oKRT, train=False)
+
+        def loss(params):
+            out = model.apply({**variables, "params": params}, x,
+                              other_features=other, KRT=KRT, other_KRT=oKRT,
+                              train=False)
+            return jnp.sum(out.heatmaps[-1] ** 2)
+
+        return jax.grad(loss)(variables["params"])
+
+    g_ft = grads_for(True)
+    g_no = grads_for(False)
+
+    def total_norm(tree, pick):
+        leaves = [
+            v for path, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+            if pick("/".join(str(p) for p in path))
+        ]
+        return float(sum(jnp.sum(jnp.abs(l)) for l in leaves)) if leaves else 0.0
+
+    # what sits below the detach point depends on the merge mode
+    # (reference ProHG.py:246,255,268):
+    #   late:  tower output detached -> stem AND tower frozen
+    #   early/both: fused stack INPUT detached -> stem frozen, tower trains
+    #   (in 'both' the tower also feeds the 2nd fusion, keeping its grads)
+    stem = lambda n: "stem_conv0" in n
+    tower = lambda n: "hg0" in n
+    head = lambda n: "tmpOut0" in n
+    frozen = tower if merge == "late" else stem
+    assert total_norm(g_no, frozen) > 0, "sanity: trains without FINETUNE"
+    assert total_norm(g_ft, frozen) == 0.0, "FINETUNE must freeze below the detach"
+    assert total_norm(g_ft, head) > 0, "heads must still train under FINETUNE"
+    if merge == "late":
+        assert total_norm(g_ft, stem) == 0.0
+    else:
+        assert total_norm(g_ft, tower) > 0, "tower is above the detach point"
