@@ -32,7 +32,13 @@ import types
 import numpy as np
 
 REFERENCE = "/root/reference"
-OUT_DIR = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+# usage: make_golden_fixtures.py [out_dir] [--only NAME]
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+ONLY = None
+if "--only" in sys.argv:
+    ONLY = sys.argv[sys.argv.index("--only") + 1]
+    _pos = [a for a in _pos if a != ONLY]
+OUT_DIR = _pos[0] if _pos else os.path.join(
     os.path.dirname(__file__), "..", "tests", "fixtures")
 
 
@@ -255,6 +261,83 @@ def gen_epipolar(cfg, torch, rng):
     return fixtures
 
 
+def gen_epipolar_grad(cfg, torch, rng):
+    """Backward goldens for Epipolar.forward (reference epipolar.py:82-269):
+    d(sum(out*w))/dfeat1 and /dfeat2 under a fixed cotangent w, pinned at the
+    as-published align_corners=True grid_sample.  Inputs are the SAME
+    feat/KRT tensors as epipolar_golden.npz (loaded from it), so forward and
+    backward parity share one provenance.  Covers the OTHER_GRAD detach
+    semantics (epipolar.py:141-153): with OTHER_GRAD=() the sampled view is
+    detached and dfeat2 must be exactly zero."""
+    from modeling.layers.epipolar import Epipolar
+    import torch.nn.functional as F
+
+    g = np.load(os.path.join(OUT_DIR, "epipolar_golden.npz"))
+    feat1, feat2 = g["feat1"], g["feat2"]
+    P1, P2 = g["P1"], g["P2"]
+    N, C, H, W = feat1.shape
+
+    cfg.BACKBONE.DOWNSAMPLE = int(g["downsample"])
+    cfg.DATASETS.IMAGE_RESIZE = 1.0
+    cfg.DATASETS.PREDICT_RESIZE = 1.0
+    cfg.KEYPOINT.HEATMAP_SIZE = (H, W)
+    cfg.EPIPOLAR.SAMPLESIZE = int(g["samplesize"])
+    cfg.EPIPOLAR.PARAMETERIZED = ()
+    cfg.EPIPOLAR.POOLING = False
+    cfg.EPIPOLAR.SOFTMAX_ENABLED = True
+    cfg.EPIPOLAR.SOFTMAXSCALE = 1.0 / np.sqrt(cfg.EPIPOLAR.SAMPLESIZE)
+    cfg.EPIPOLAR.SIMILARITY = "dot"
+    cfg.EPIPOLAR.REPROJECT_LOSS_WEIGHT = 0
+    cfg.EPIPOLAR.PRIOR = False
+    cfg.EPIPOLAR.PRIORMUL = False
+    cfg.EPIPOLAR.BOTTLENECK = 1
+    cfg.EPIPOLAR.ZRESIDUAL = False
+    cfg.VIS.EPIPOLAR_LINE = False
+    cfg.EPIPOLAR.WARPEDHEATMAP = False
+    cfg.EPIPOLAR.USE_CORRECT_NORMALIZE = True
+
+    w = np.random.RandomState(123).randn(N, C, H, W).astype(np.float32)
+    fixtures = {"w": w}
+
+    cases = [
+        ("avg_dot_correct", "avg", ("other1", "other2")),
+        ("max_dot_correct", "max", ("other1", "other2")),
+        ("avg_dot_detached", "avg", ()),
+    ]
+    orig_grid_sample = F.grid_sample
+
+    def gs_ac_true(input, grid, mode="bilinear", padding_mode="zeros",
+                   align_corners=None):
+        return orig_grid_sample(input, grid, mode=mode,
+                                padding_mode=padding_mode, align_corners=True)
+
+    F.grid_sample = gs_ac_true
+    try:
+        for tag, attention, other_grad in cases:
+            cfg.EPIPOLAR.ATTENTION = attention
+            cfg.EPIPOLAR.OTHER_GRAD = other_grad
+            torch.manual_seed(0)
+            layer = Epipolar()
+            layer.eval()
+            f1 = torch.from_numpy(feat1).requires_grad_(True)
+            f2 = torch.from_numpy(feat2).requires_grad_(True)
+            out, _, _, _ = layer(f1, f2, torch.from_numpy(P1),
+                                 torch.from_numpy(P2))
+            loss = (out * torch.from_numpy(w)).sum()
+            g1, g2 = torch.autograd.grad(loss, [f1, f2], allow_unused=True)
+            fixtures[f"{tag}__out"] = out.detach().numpy()
+            # None cotangent = provably-zero gradient: feat2 when detached
+            # (OTHER_GRAD=()), feat1 under 'max' (hard argmax-gather severs
+            # the differentiable path through the similarity)
+            fixtures[f"{tag}__dfeat1"] = (
+                g1.numpy() if g1 is not None else np.zeros_like(feat1))
+            fixtures[f"{tag}__dfeat2"] = (
+                g2.numpy() if g2 is not None else np.zeros_like(feat2))
+    finally:
+        F.grid_sample = orig_grid_sample
+    return fixtures
+
+
 def _force_align_corners_true(torch):
     """Context manager: restore the era (torch<=1.3) behaviors the reference
     was written against — align_corners=True defaults (modern torch defaults
@@ -366,26 +449,37 @@ def gen_poseresnet18(cfg, torch, rng):
     }
 
 
-def main():
+def main(only=None):
     os.makedirs(OUT_DIR, exist_ok=True)
     cfg = install_reference()
     import torch
     import torch.nn.functional as F
 
+    # the shared rng advances across generators in this fixed order; an
+    # `--only` run of a self-seeded generator (epipolar_grad) is safe, an
+    # `--only` rerun of the rng-shared ones would shift downstream fixtures
     rng = np.random.RandomState(42)
-    np.savez_compressed(os.path.join(OUT_DIR, "grid_sample_golden.npz"),
-                        **gen_grid_sample(torch, F, rng))
-    print("grid_sample_golden.npz written")
-    np.savez_compressed(os.path.join(OUT_DIR, "peak_decode_golden.npz"),
-                        **gen_peak_decode(cfg, torch, rng))
-    print("peak_decode_golden.npz written")
-    np.savez_compressed(os.path.join(OUT_DIR, "epipolar_golden.npz"),
-                        **gen_epipolar(cfg, torch, rng))
-    print("epipolar_golden.npz written")
-    np.savez_compressed(os.path.join(OUT_DIR, "poseresnet18_golden.npz"),
-                        **gen_poseresnet18(cfg, torch, rng))
-    print("poseresnet18_golden.npz written")
+    if only in (None, "grid_sample"):
+        np.savez_compressed(os.path.join(OUT_DIR, "grid_sample_golden.npz"),
+                            **gen_grid_sample(torch, F, rng))
+        print("grid_sample_golden.npz written")
+    if only in (None, "peak_decode"):
+        np.savez_compressed(os.path.join(OUT_DIR, "peak_decode_golden.npz"),
+                            **gen_peak_decode(cfg, torch, rng))
+        print("peak_decode_golden.npz written")
+    if only in (None, "epipolar"):
+        np.savez_compressed(os.path.join(OUT_DIR, "epipolar_golden.npz"),
+                            **gen_epipolar(cfg, torch, rng))
+        print("epipolar_golden.npz written")
+    if only in (None, "poseresnet18"):
+        np.savez_compressed(os.path.join(OUT_DIR, "poseresnet18_golden.npz"),
+                            **gen_poseresnet18(cfg, torch, rng))
+        print("poseresnet18_golden.npz written")
+    if only in (None, "epipolar_grad"):
+        np.savez_compressed(os.path.join(OUT_DIR, "epipolar_grad_golden.npz"),
+                            **gen_epipolar_grad(cfg, torch, rng))
+        print("epipolar_grad_golden.npz written")
 
 
 if __name__ == "__main__":
-    main()
+    main(ONLY)
