@@ -27,6 +27,10 @@ from flax import linen as nn
 
 from ..config import Config
 from ..ops.epipolar_attention import AttentionParams, epipolar_attention
+from ..ops.epipolar_attention_pooled import (
+    epipolar_attention_pooled,
+    supports_pooled_attention,
+)
 from ..ops.epipolar_attention_matmul import (
     epipolar_attention_matmul,
     supports_matmul_attention,
@@ -44,8 +48,10 @@ class Epipolar(nn.Module):
     # 'auto' (default): the gather-free matmul formulation
     # (ops/epipolar_attention_matmul.py — MXU-only, no XLA gathers) for every
     # config except sample POOLING (avg/max attention, dot/cos/prior
-    # similarity all supported), else the streaming single-gather-pass
-    # online-softmax path.  'matmul' / 'streaming' / 'reference' force one.
+    # similarity all supported); POOLING configs take the materialized
+    # corner-table path (ops/epipolar_attention_pooled.py — one big gather
+    # pass instead of a K/2-step scan); anything else streams.
+    # 'matmul' / 'pooled' / 'streaming' / 'reference' force one.
     attention_impl: str = "auto"
 
     def _shared_kv(self) -> bool:
@@ -195,6 +201,28 @@ class Epipolar(nn.Module):
                         q, o1, o2, s, params, p
                     )
                 )(query, other1, other2, sample_locs, prior)
+        elif (
+            self.attention_impl in ("auto", "pooled")
+            and supports_pooled_attention(params)
+        ):
+            # POOLING: materialized corner-table path — one big gather pass
+            # instead of the streaming K/2-step scan.  The full weight stack
+            # ('depth') comes free; jax.checkpoint keeps the (K, H, W, C)
+            # sample stack out of the saved residuals under autodiff.
+            shared = self._shared_kv()
+            fn = jax.checkpoint(
+                lambda q, o1, o2, s, p: epipolar_attention_pooled(
+                    q, o1, o2, s, params, p, shared_kv=shared
+                )
+            )
+            if prior is None:
+                out, corr_pos, depth = jax.vmap(
+                    lambda q, o1, o2, s: fn(q, o1, o2, s, None)
+                )(query, other1, other2, sample_locs)
+            else:
+                out, corr_pos, depth = jax.vmap(fn)(
+                    query, other1, other2, sample_locs, prior
+                )
         elif (
             self.attention_impl in ("auto", "streaming") and e.SIMILARITY != "prior"
         ):
