@@ -10,6 +10,7 @@ would shard by jax.process_index().
 
 from __future__ import annotations
 
+import ctypes
 import queue
 import threading
 from typing import Dict, Iterator, Optional
@@ -17,13 +18,45 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
-def collate(items) -> Dict[str, np.ndarray]:
-    """Stack a list of per-sample dicts into batched arrays."""
-    out = {}
-    for k in items[0]:
-        vals = [it[k] for it in items]
-        out[k] = np.stack(vals)
-    return out
+def _tune_allocator() -> None:
+    """Keep big numpy buffers in the heap arena instead of per-allocation
+    mmap/munmap.
+
+    glibc malloc services every allocation over M_MMAP_THRESHOLD (128 KB)
+    with a fresh mmap and munmaps it on free — so each image/heatmap buffer
+    the pipeline produces pays page faults + zeroing + TLB shootdowns, which
+    on a loaded single-core host measurably dominates the render itself.
+    Raising the threshold (and the trim threshold, so the arena isn't
+    returned to the kernel between batches) lets freed item buffers be
+    recycled by the allocator at full speed.  No-op on non-glibc."""
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 64 * 1024 * 1024)
+        libc.mallopt(M_TRIM_THRESHOLD, 256 * 1024 * 1024)
+    except OSError:
+        pass
+
+
+_tune_allocator()
+
+
+def collate(items, out: Optional[Dict[str, np.ndarray]] = None) -> Dict[str, np.ndarray]:
+    """Stack a list of per-sample dicts into batched arrays.
+
+    With `out` (a previously returned batch dict of matching shapes/dtypes),
+    the stack writes into the existing buffers instead of allocating —
+    the ring-reuse path of DataLoader(reuse_buffers=True)."""
+    if out is not None:
+        try:
+            for k in items[0]:
+                dst = out[k]
+                for j, it in enumerate(items):
+                    np.copyto(dst[j], it[k])
+            return out
+        except (KeyError, ValueError, TypeError):
+            pass  # shape/dtype/key drift: fall through to fresh allocation
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
 
 class ConcatDataset:
@@ -62,6 +95,7 @@ class DataLoader:
         shard_id: int = 0,
         num_shards: int = 1,
         num_iterations: Optional[int] = None,
+        reuse_buffers: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -72,6 +106,13 @@ class DataLoader:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.num_iterations = num_iterations
+        # Ring of reusable batch buffers: batch n and batch n + ring_depth
+        # ALIAS the same memory.  Safe for streaming consumers (the trainer
+        # holds the current batch + one prefetched upload = depth 2 < ring
+        # depth); NOT safe for consumers that accumulate batch references
+        # across iterations — those must keep the default.
+        self.reuse_buffers = reuse_buffers
+        self._ring = [None] * (prefetch + 3) if reuse_buffers else None
         self.epoch = 0
 
     def __len__(self):
@@ -132,8 +173,15 @@ class DataLoader:
                     continue
             return False
 
-        for batch_idx in self._batch_indices():
-            if not put(collate([self.dataset[int(i)] for i in batch_idx])):
+        for n, batch_idx in enumerate(self._batch_indices()):
+            items = [self.dataset[int(i)] for i in batch_idx]
+            if self._ring is not None:
+                slot = n % len(self._ring)
+                self._ring[slot] = collate(items, out=self._ring[slot])
+                batch = self._ring[slot]
+            else:
+                batch = collate(items)
+            if not put(batch):
                 return
         put(None)
 
@@ -237,6 +285,11 @@ def make_data_loader(cfg, is_train: bool, shard_id: int = 0, num_shards: int = 1
             shard_id=shard_id,
             num_shards=num_shards,
             num_iterations=num_iterations if is_train else None,
+            # the trainer streams batches (holds current + one prefetched
+            # upload), so ring-reuse is safe there and removes the dominant
+            # page-fault cost of fresh batch allocation; eval loaders keep
+            # fresh buffers (the tester dumps/accumulates per-batch arrays)
+            reuse_buffers=is_train,
         )
         for ds in datasets
     ]

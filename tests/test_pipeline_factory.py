@@ -194,3 +194,47 @@ def test_prefetch_producer_reaped_on_early_exit():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+class _Indexed:
+    """Item value encodes the index, so batch contents are checkable."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((3,), float(i), np.float32)}
+
+
+def test_reuse_buffers_ring_contents_and_aliasing():
+    """reuse_buffers: batches are correct, buffers cycle with ring period,
+    and a streaming consumer never sees a batch mutated before it moves on."""
+    ds = _Indexed(40)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, prefetch=2,
+                        reuse_buffers=True)
+    seen_ids = []
+    prev = None
+    for n, batch in enumerate(loader):
+        # contents correct at the moment of consumption
+        np.testing.assert_array_equal(
+            batch["x"][:, 0], np.array([2 * n, 2 * n + 1], np.float32))
+        if prev is not None:
+            # the ring is deeper than the consumer's working set of 2
+            assert batch["x"] is not prev["x"]
+        seen_ids.append(id(batch["x"]))
+        prev = batch
+    # buffers really were recycled (ring depth = prefetch + 3 = 5)
+    assert len(set(seen_ids)) <= 5 < len(seen_ids)
+
+
+def test_reuse_buffers_matches_fresh_allocation():
+    ds = _Indexed(12)
+    fresh = [b["x"].copy() for b in DataLoader(ds, batch_size=3,
+                                               shuffle=False, prefetch=0)]
+    ring = [b["x"].copy() for b in DataLoader(ds, batch_size=3, shuffle=False,
+                                              prefetch=2, reuse_buffers=True)]
+    for f, r in zip(fresh, ring):
+        np.testing.assert_array_equal(f, r)
