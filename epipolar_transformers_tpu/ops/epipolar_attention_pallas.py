@@ -29,7 +29,7 @@ Mosaic constraints shaping the code (probed on hardware):
 Forward-only and NOT wired into any production dispatch: the Mosaic
 toolchain currently fails to lower the profile-construction pattern on
 real TPUs (see PERF.md "Pallas status"), so this kernel is validated in
-interpreter mode only (tests/test_pallas_kernel.py) and production
+interpreter mode only (tests/test_epipolar_pallas.py) and production
 inference/training both take the autodiff-able matmul path
 (models/epipolar.py dispatch).
 """
@@ -139,13 +139,97 @@ def _kernel(f1_ref, f2_ref, xb_ref, wx0_ref, wx1_ref, yb_ref, wy0_ref,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def _kernel_tent(f1_ref, f2_ref, x_ref, y_ref, ones_w_ref, ones_h_ref,
+                 out_ref, w_ref, g_scratch, *, H, W, K, softmax_enabled,
+                 softmax_scale):
+    """Profile construction reformulated to dodge the Mosaic crash class
+    "lane-broadcast elementwise / iota-compare coexisting with dot_general"
+    (PERF.md "Pallas fused-kernel investigation"):
+
+      * the bilinear zero-padding profile IS the tent function
+        relu(1 - |i - x|) — for any continuous x it reproduces
+        _axis_slot_weights' masked corner weights exactly, including the
+        border cases (x in [-1, 0] / [size-1, size]) and full out-of-range
+        (all-zero row), so no compares and no slot/validity logic at all;
+      * the per-(q, k) coordinate is broadcast along the lane axis by a
+        batched rank-1 dot_general against a ones ref (MXU broadcast),
+        never by a (QT, K, 1) * (QT, K, W) elementwise op;
+      * broadcasted_iota is used alone (known to lower), never compared.
+
+    Everything downstream (G build, contractions, softmax, fused output) is
+    identical to _kernel."""
+    QT, C = f1_ref.shape[1], f1_ref.shape[2]
+    f1t = f1_ref[0]  # (QT, C)
+    prof_dtype = f1t.dtype
+
+    def g_row(yy, _):
+        row = f2_ref[0, pl.ds(yy, 1)][0]  # (W, C)
+        g = jax.lax.dot_general(
+            f1t, row, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (QT, W)
+        g_scratch[:, pl.ds(yy, 1), :] = g.astype(g_scratch.dtype)[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, H, g_row, 0)
+
+    one = jnp.float32(1.0)
+
+    # X2[q, k, w] = x[q, k]  (batched rank-1 MXU broadcast: (QT,K,1)@(QT,1,W))
+    x2 = jax.lax.dot_general(
+        x_ref[0][..., None], ones_w_ref[0],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (QT, K, W)
+    xi = jax.lax.broadcasted_iota(jnp.float32, (QT, K, W), 2)
+    xprof = jnp.maximum(one - jnp.abs(xi - x2), 0.0).astype(prof_dtype)
+
+    # Y2[q, h, k] = y[q, k]  ((QT,H,1)-ones @ (QT,1,K)-y)
+    y2 = jax.lax.dot_general(
+        ones_h_ref[0], y_ref[0][:, None, :],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (QT, H, K)
+    yi = jax.lax.broadcasted_iota(jnp.float32, (QT, H, K), 1)
+    yprof_t = jnp.maximum(one - jnp.abs(yi - y2), 0.0).astype(prof_dtype)
+
+    T = jax.lax.dot_general(
+        g_scratch[:].astype(prof_dtype), xprof,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (QT, H, K)
+
+    sim = jnp.sum(T * yprof_t.astype(jnp.float32), axis=1)  # (QT, K)
+    masked = jnp.where(sim == 0.0, NEG_INF, sim)
+    if softmax_enabled:
+        w = jax.nn.softmax(masked * softmax_scale, axis=-1)
+    else:
+        w = masked / K
+    w_ref[0] = w
+
+    yw = (yprof_t.astype(jnp.float32) * w[:, None, :]).astype(prof_dtype)
+    nmat = jax.lax.dot_general(
+        yw, xprof, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (QT, H, W)
+    g_scratch[:] = nmat
+
+    def out_row(yy, acc):
+        row = f2_ref[0, pl.ds(yy, 1)][0]  # (W, C)
+        nrow = g_scratch[:, pl.ds(yy, 1), :][:, 0, :].astype(prof_dtype)
+        return acc + jax.lax.dot_general(
+            nrow, row, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, H, out_row, jnp.zeros((QT, C), jnp.float32))
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "interpret", "profile_mode"))
 def epipolar_attention_pallas(
     feat1: jnp.ndarray,
     other: jnp.ndarray,
     sample_locs: jnp.ndarray,
     params: AttentionParams,
     interpret: bool = False,
+    profile_mode: str = "tent",
 ):
     """Batched fused epipolar attention (shared key/value features).
 
@@ -154,6 +238,12 @@ def epipolar_attention_pallas(
         other: (N, H, W, C) source-view features (keys == values).
         sample_locs: (N, K, H, W, 2) normalized (-1, 1) sample locations.
         interpret: run the kernel in interpreter mode (CPU tests).
+        profile_mode: 'tent' (default) builds profiles as
+            relu(1 - |iota - x|) with dot_general broadcasts — the
+            formulation designed around the Mosaic broadcast/compare crash
+            (see _kernel_tent); 'slots' is the original iota-compare
+            construction (known NOT to lower on the current toolchain,
+            kept for interpreter cross-checks).
     Returns:
         out: (N, H, W, C), corr_pos: (N, H, W, 2), depth: (N, K, H, W) —
         same contract as epipolar_attention_matmul_batch.
@@ -170,10 +260,6 @@ def epipolar_attention_pallas(
     locs = jax.lax.stop_gradient(locs).astype(jnp.float32)
     x = (locs[..., 0] + 1.0) / 2.0 * (W - 1)
     y = (locs[..., 1] + 1.0) / 2.0 * (H - 1)
-    xb, wx0, wx1 = _axis_slot_weights(x, W)
-    yb, wy0, wy1 = _axis_slot_weights(y, H)
-    wdt = feat1.dtype
-    wx0, wx1, wy0, wy1 = (a.astype(wdt) for a in (wx0, wx1, wy0, wy1))
 
     f1 = feat1.reshape(N, HW, C)
     f2 = other  # (N, H, W, C); rows sliced inside the kernel
@@ -181,34 +267,61 @@ def epipolar_attention_pallas(
     grid = (N, HW // QT)
     tile_qk = pl.BlockSpec((1, QT, K), lambda b, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
-    out, w = pl.pallas_call(
-        functools.partial(
-            _kernel, H=H, W=W, K=K,
-            softmax_enabled=params.softmax_enabled,
-            softmax_scale=float(params.softmax_scale),
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, QT, C), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            # full source image per batch item; index independent of i, so
-            # Pallas keeps it resident across the inner grid dimension
-            pl.BlockSpec((1, H, W, C), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            tile_qk, tile_qk, tile_qk, tile_qk, tile_qk, tile_qk,
-        ],
-        out_specs=[
-            pl.BlockSpec((1, QT, C), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            tile_qk,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, HW, C), feat1.dtype),
-            jax.ShapeDtypeStruct((N, HW, K), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((QT, H, W), jnp.float32)],
-        interpret=interpret,
-    )(f1, f2, xb, wx0, wx1, yb, wy0, wy1)
+    f1_spec = pl.BlockSpec((1, QT, C), lambda b, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    # full source image per batch item; index independent of i, so
+    # Pallas keeps it resident across the inner grid dimension
+    f2_spec = pl.BlockSpec((1, H, W, C), lambda b, i: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = [f1_spec, tile_qk]
+    out_shape = [
+        jax.ShapeDtypeStruct((N, HW, C), feat1.dtype),
+        jax.ShapeDtypeStruct((N, HW, K), jnp.float32),
+    ]
+    scratch = [pltpu.VMEM((QT, H, W), jnp.float32)]
+    kern_kw = dict(H=H, W=W, K=K,
+                   softmax_enabled=params.softmax_enabled,
+                   softmax_scale=float(params.softmax_scale))
+
+    if profile_mode == "tent":
+        # ones refs for the rank-1 dot_general broadcasts (ref-loaded
+        # operands are the probed-safe operand class for Mosaic dots)
+        ones_w = jnp.ones((1, QT, 1, W), jnp.float32)
+        ones_h = jnp.ones((1, QT, H, 1), jnp.float32)
+        out, w = pl.pallas_call(
+            functools.partial(_kernel_tent, **kern_kw),
+            grid=grid,
+            in_specs=[
+                f1_spec, f2_spec, tile_qk, tile_qk,
+                pl.BlockSpec((1, QT, 1, W), lambda b, i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, QT, H, 1), lambda b, i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(f1, f2, x, y, ones_w, ones_h)
+    elif profile_mode == "slots":
+        xb, wx0, wx1 = _axis_slot_weights(x, W)
+        yb, wy0, wy1 = _axis_slot_weights(y, H)
+        wdt = feat1.dtype
+        wx0, wx1, wy0, wy1 = (a.astype(wdt) for a in (wx0, wx1, wy0, wy1))
+        out, w = pl.pallas_call(
+            functools.partial(_kernel, **kern_kw),
+            grid=grid,
+            in_specs=[
+                f1_spec, f2_spec,
+                tile_qk, tile_qk, tile_qk, tile_qk, tile_qk, tile_qk,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(f1, f2, xb, wx0, wx1, yb, wy0, wy1)
+    else:
+        raise ValueError(profile_mode)
 
     out = out.reshape(N, H, W, C)
     depth = w.transpose(0, 2, 1).reshape(N, K, H, W)

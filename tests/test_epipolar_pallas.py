@@ -27,15 +27,16 @@ def _batch(rng, N=2, K=8, H=8, W=8, C=16):
     return jnp.asarray(feat1), jnp.asarray(other), jnp.asarray(locs)
 
 
+@pytest.mark.parametrize("profile_mode", ["tent", "slots"])
 @pytest.mark.parametrize("softmax_enabled", [True, False])
-def test_pallas_matches_oracle(rng, softmax_enabled):
+def test_pallas_matches_oracle(rng, softmax_enabled, profile_mode):
     f1, f2, locs = _batch(rng)
     params = AttentionParams(softmax_scale=1 / np.sqrt(8),
                              softmax_enabled=softmax_enabled)
     assert supports_pallas_attention(params, shared_kv=True, has_prior=False,
                                      n_queries=64)
-    out, corr, depth = epipolar_attention_pallas(f1, f2, locs, params,
-                                                 interpret=True)
+    out, corr, depth = epipolar_attention_pallas(
+        f1, f2, locs, params, interpret=True, profile_mode=profile_mode)
     for n in range(f1.shape[0]):
         r_out, r_corr, r_depth = epipolar_attention(
             f1[n], f2[n], f2[n], locs[n], params)
@@ -47,7 +48,8 @@ def test_pallas_matches_oracle(rng, softmax_enabled):
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_pallas_real_geometry(rng, camera_ring):
+@pytest.mark.parametrize("profile_mode", ["tent", "slots"])
+def test_pallas_real_geometry(rng, camera_ring, profile_mode):
     """Parity on real epipolar-geometry sample locations (clipped lines,
     out-of-range sentinels)."""
     from epipolar_transformers_tpu.ops.epipolar_sampling import (
@@ -63,8 +65,8 @@ def test_pallas_real_geometry(rng, camera_ring):
     f1 = jnp.asarray(rng.randn(1, H, W, 8).astype(np.float32))
     f2 = jnp.asarray(rng.randn(1, H, W, 8).astype(np.float32))
     params = AttentionParams(softmax_scale=0.25)
-    out, corr, depth = epipolar_attention_pallas(f1, f2, locs, params,
-                                                 interpret=True)
+    out, corr, depth = epipolar_attention_pallas(
+        f1, f2, locs, params, interpret=True, profile_mode=profile_mode)
     r_out, r_corr, r_depth = epipolar_attention(f1[0], f2[0], f2[0], locs[0],
                                                 params)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(r_out),
@@ -75,9 +77,12 @@ def test_pallas_real_geometry(rng, camera_ring):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_pallas_all_out_of_range(rng):
+@pytest.mark.parametrize("profile_mode", ["tent", "slots"])
+def test_pallas_all_out_of_range(rng, profile_mode):
     f1, f2, _ = _batch(rng, N=1)
     locs = jnp.full((1, 8, 8, 8, 2), -9.0)
     params = AttentionParams(softmax_scale=1 / np.sqrt(8))
-    out, _, _ = epipolar_attention_pallas(f1, f2, locs, params, interpret=True)
+    out, _, _ = epipolar_attention_pallas(f1, f2, locs, params,
+                                          interpret=True,
+                                          profile_mode=profile_mode)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
