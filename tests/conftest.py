@@ -30,7 +30,26 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache: CPU compiles of the big train-step /
 # model-init programs dominate suite wall-time; cache them across runs.
-_cache_dir = os.environ.get("JAX_TEST_CACHE", "/tmp/jax_test_comp_cache")
+# The dir is keyed by a host-CPU fingerprint: XLA's cache key does NOT
+# include the detected CPU features, so an entry AOT-compiled on an
+# avx512 host loads on a non-avx512 host (cpu_aot_loader warns, numerics
+# drift vs freshly-compiled programs, SIGILL possible).  Observed: a stale
+# cache made 1-dev and 8-dev grads differ 2.8e-2 where fresh compiles are
+# bit-identical.
+def _cpu_fingerprint():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "generic"
+
+
+_cache_dir = os.environ.get(
+    "JAX_TEST_CACHE", f"/tmp/jax_test_comp_cache_{_cpu_fingerprint()}")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
