@@ -97,6 +97,11 @@ class EpipolarConfig(_Node):
     ATTENTION: str = "max"
     # cos, dot, prior
     SIMILARITY: str = "dot"
+    # attention schedule (framework-native; no reference counterpart):
+    # auto | matmul | pooled | streaming | reference — see
+    # models/epipolar.py Epipolar.impl.  'auto' picks the fastest valid
+    # path for the config's semantics; forcing one is a debug/bench tool.
+    ATTENTION_IMPL: str = "auto"
     SAMPLESIZE: int = 64
     SOFTMAX_ENABLED: bool = True
     SOFTMAXBETA: bool = True

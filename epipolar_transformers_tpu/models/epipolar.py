@@ -51,8 +51,18 @@ class Epipolar(nn.Module):
     # similarity all supported); POOLING configs take the materialized
     # corner-table path (ops/epipolar_attention_pooled.py — one big gather
     # pass instead of a K/2-step scan); anything else streams.
-    # 'matmul' / 'pooled' / 'streaming' / 'reference' force one.
-    attention_impl: str = "auto"
+    # 'matmul' / 'pooled' / 'streaming' / 'reference' force one.  The
+    # module default "" defers to cfg.EPIPOLAR.ATTENTION_IMPL so the choice
+    # is reachable from the CLI (EPIPOLAR.ATTENTION_IMPL streaming);
+    # passing the field explicitly (tests, benches) overrides the config.
+    attention_impl: str = ""
+
+    @property
+    def impl(self) -> str:
+        impl = self.attention_impl or self.cfg.EPIPOLAR.ATTENTION_IMPL
+        if impl not in ("auto", "matmul", "pooled", "streaming", "reference"):
+            raise ValueError(f"unknown EPIPOLAR.ATTENTION_IMPL {impl!r}")
+        return impl
 
     def _shared_kv(self) -> bool:
         """True when keys and values are the same tensor — the flagship
@@ -185,7 +195,7 @@ class Epipolar(nn.Module):
             prior = self.prior_table[camera, other_camera]  # (N, K', H, W)
 
         if (
-            self.attention_impl in ("auto", "matmul")
+            self.impl in ("auto", "matmul")
             and supports_matmul_attention(params)
         ):
             # gather-free path: depth (the full weight stack) comes free
@@ -202,7 +212,7 @@ class Epipolar(nn.Module):
                     )
                 )(query, other1, other2, sample_locs, prior)
         elif (
-            self.attention_impl in ("auto", "pooled")
+            self.impl in ("auto", "pooled")
             and supports_pooled_attention(params)
         ):
             # POOLING: materialized corner-table path — one big gather pass
@@ -224,7 +234,7 @@ class Epipolar(nn.Module):
                     query, other1, other2, sample_locs, prior
                 )
         elif (
-            self.attention_impl in ("auto", "streaming") and e.SIMILARITY != "prior"
+            self.impl in ("auto", "streaming") and e.SIMILARITY != "prior"
         ):
             shared = self._shared_kv()
             # the full (K', H, W) weight stack is only materialized when a

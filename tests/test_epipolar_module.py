@@ -128,3 +128,27 @@ def test_stop_gradient_on_other_view(camera_ring):
 
     g2 = jax.grad(loss2)(feat2)
     assert np.abs(np.asarray(g2)).sum() > 0
+
+
+def test_attention_impl_config_knob(camera_ring):
+    """EPIPOLAR.ATTENTION_IMPL forces a dispatch path from config (CLI-
+    reachable) and agrees with 'auto'; unknown values fail loudly."""
+    feat1, feat2, P1, P2 = _inputs(camera_ring)
+    outs = {}
+    for impl in ("auto", "matmul", "streaming", "reference"):
+        cfg = _cfg(ATTENTION_IMPL=impl)
+        model = Epipolar(cfg)
+        variables = model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2,
+                               train=False)
+        out, _, _, _ = model.apply(variables, feat1, feat2, P1, P2,
+                                   train=False)
+        outs[impl] = np.asarray(out)
+    for impl in ("matmul", "streaming", "reference"):
+        np.testing.assert_allclose(outs[impl], outs["auto"], rtol=1e-4,
+                                   atol=1e-5)
+    # an explicit field still overrides the config
+    model = Epipolar(_cfg(ATTENTION_IMPL="streaming"),
+                     attention_impl="matmul")
+    assert model.impl == "matmul"
+    with pytest.raises(ValueError, match="ATTENTION_IMPL"):
+        Epipolar(_cfg(ATTENTION_IMPL="bogus")).impl
