@@ -112,3 +112,63 @@ def test_pooled_all_out_of_range(rng):
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_param_config_trains_through_builder():
+    """The keypoint_h36m_param semantics (PARAMETERIZED z/theta/phi/g +
+    POOLING + BOTTLENECK 2, reference configs/epipolar/
+    keypoint_h36m_param.yaml:29-31) build, forward, and take one finite
+    train step through ModelBuilder — and dispatch to the pooled path
+    (pooling excludes matmul; pooled support asserted)."""
+    import numpy as np
+    from epipolar_transformers_tpu.config import Config, update_from_dict
+    from epipolar_transformers_tpu.data.pipeline import make_data_loader
+    from epipolar_transformers_tpu.engine import (
+        create_train_state,
+        make_train_step,
+    )
+    from epipolar_transformers_tpu.engine.trainer import select_model_inputs
+    from epipolar_transformers_tpu.ops.epipolar_attention_matmul import (
+        supports_matmul_attention,
+    )
+
+    d = {
+        "DATASETS": {
+            "TRAIN": ("synthetic_multiview_train",),
+            "TEST": ("synthetic_multiview_val",),
+            "TASK": "multiview_keypoint",
+            "IMAGE_SIZE": (64, 64),
+            "IMAGE_RESIZE": 1.0,
+            "PREDICT_RESIZE": 1.0,
+        },
+        "BACKBONE": {"ENABLED": True, "BODY": "epipolarposeR-18",
+                     "PRETRAINED": False, "DOWNSAMPLE": 4},
+        "KEYPOINT": {"ENABLED": True, "NUM_PTS": 5, "HEATMAP_SIZE": (16, 16),
+                     "SIGMA": 2.0, "NFEATS": 256, "LOSS": "joint",
+                     "LOSS_PER_JOINT": False},
+        "EPIPOLAR": {
+            "SAMPLESIZE": 8, "MERGE": "late", "ATTENTION": "avg",
+            "SIMILARITY": "dot", "POOLING": True, "BOTTLENECK": 2,
+            "PARAMETERIZED": ("z", "theta", "phi", "g"), "ZRESIDUAL": False,
+            "SHARE_WEIGHTS": True, "USE_CORRECT_NORMALIZE": True,
+            "PRETRAINED": False,
+        },
+        "SOLVER": {"OPTIMIZER": "adam", "BASE_LR": 1e-3, "IMS_PER_BATCH": 4,
+                   "MAX_EPOCHS": 1},
+        "TEST": {"IMS_PER_BATCH": 1},
+        "OUTPUT_DIR": "",
+    }
+    cfg = update_from_dict(Config(), d)
+    params = AttentionParams(pooling=True, attention="avg", similarity="dot")
+    assert supports_pooled_attention(params)
+    assert not supports_matmul_attention(params)
+
+    loader = make_data_loader(cfg, is_train=True)
+    inputs = select_model_inputs(cfg, next(iter(loader)))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), inputs)
+    step = make_train_step(cfg)
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, inputs, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses)), losses
