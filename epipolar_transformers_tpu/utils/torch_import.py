@@ -49,6 +49,10 @@ def strip_prefix(sd: Dict[str, np.ndarray], prefix: str = "",
     matching ones stripped; without it the dict is returned untouched
     (reference model_serialization.py:62-66)."""
     if not prefix:
+        # reference model_serialization.py:72-73: empty prefix with a
+        # non-empty replacement PREPENDS the replacement to every key
+        if prefix_replace:
+            return {prefix_replace + k: v for k, v in sd.items()}
         return dict(sd)
     if not all(k.startswith(prefix) for k in sd):
         import warnings

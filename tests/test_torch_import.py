@@ -84,9 +84,25 @@ def test_key_mapping_rules():
 
 
 def test_strip_prefix():
-    sd = {"module.conv1.weight": np.zeros(1), "other": np.ones(1)}
+    """Reference strip_prefix_if_present semantics
+    (model_serialization.py:59-76)."""
+    # every key prefixed -> stripped
+    sd = {"module.conv1.weight": np.zeros(1), "module.bn1.bias": np.ones(1)}
     out = strip_prefix(sd, "module.")
-    assert "conv1.weight" in out and "other" in out
+    assert set(out) == {"conv1.weight", "bn1.bias"}
+    # mixed prefixes, allow off -> returned UNTOUCHED (ref :62-66)
+    sd = {"module.conv1.weight": np.zeros(1), "other": np.ones(1)}
+    with pytest.warns(UserWarning, match="prefix"):
+        out = strip_prefix(sd, "module.")
+    assert set(out) == {"module.conv1.weight", "other"}
+    # mixed prefixes, WEIGHTS_ALLOW_DIFF_PREFIX -> non-matching dropped,
+    # matching stripped (ref :69-71)
+    with pytest.warns(UserWarning, match="prefix"):
+        out = strip_prefix(sd, "module.", allow_diff_prefix=True)
+    assert set(out) == {"conv1.weight"}
+    # empty prefix + replacement -> replacement PREPENDED (ref :72-73)
+    out = strip_prefix({"a.b": np.zeros(1)}, "", "backbone.")
+    assert set(out) == {"backbone.a.b"}
 
 
 def _tiny_torch_posenet_sd(rng, num_pts=5):
