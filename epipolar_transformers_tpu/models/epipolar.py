@@ -194,6 +194,19 @@ class Epipolar(nn.Module):
         if e.PRIOR or e.SIMILARITY == "prior":
             prior = self.prior_table[camera, other_camera]  # (N, K', H, W)
 
+        # a FORCED impl that can't express this config must fail loudly,
+        # not silently fall through to the oracle
+        unsupported = (
+            (self.impl == "matmul" and not supports_matmul_attention(params))
+            or (self.impl == "pooled" and not supports_pooled_attention(params))
+            or (self.impl == "streaming" and e.SIMILARITY == "prior")
+        )
+        if unsupported:
+            raise ValueError(
+                f"EPIPOLAR.ATTENTION_IMPL={self.impl!r} does not support "
+                f"this config's attention semantics ({params}); use 'auto'"
+            )
+
         if (
             self.impl in ("auto", "matmul")
             and supports_matmul_attention(params)

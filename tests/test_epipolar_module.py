@@ -152,3 +152,13 @@ def test_attention_impl_config_knob(camera_ring):
     assert model.impl == "matmul"
     with pytest.raises(ValueError, match="ATTENTION_IMPL"):
         Epipolar(_cfg(ATTENTION_IMPL="bogus")).impl
+
+
+def test_attention_impl_forced_unsupported_raises(camera_ring):
+    """A forced impl that can't express the config fails loudly instead of
+    silently falling through to the oracle (e.g. matmul on POOLING)."""
+    feat1, feat2, P1, P2 = _inputs(camera_ring)
+    cfg = _cfg(ATTENTION_IMPL="matmul", POOLING=True)
+    model = Epipolar(cfg)
+    with pytest.raises(ValueError, match="does not support"):
+        model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2, train=False)
