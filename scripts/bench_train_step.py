@@ -60,7 +60,9 @@ def main():
     # the axon tunnel — see bench.py)
     results = {}
 
-    st = state
+    # the train step donates its input state; bench on a buffer COPY so the
+    # pristine `state` stays alive for the fwd/bwd measurements below
+    st = jax.tree_util.tree_map(jnp.array, state)
     def full_step():
         nonlocal st
         st, metrics = step(st, inputs, rng)
@@ -82,7 +84,7 @@ def main():
 
     grad_fn = jax.jit(jax.grad(fwd_loss))
     results["fwd_bwd_ms"] = _bench(
-        lambda: grad_fn(state.params),
+        lambda: grad_fn(state.params, state.batch_stats),
         lambda r: np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0]) * 1e3
 
     results["bwd_ms"] = round(results["fwd_bwd_ms"] - results["fwd_ms"], 2)
