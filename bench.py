@@ -53,7 +53,37 @@ def _sync_bench(fn, args, iters, blocks: int = 1):
     return best
 
 
+def _require_device(timeout_s: float = 120.0):
+    """Fail fast (structured) when the TPU tunnel is unreachable.
+
+    jax.devices() on an uninitialized backend BLOCKS indefinitely if the
+    axon tunnel is down (observed 2026-08-17: multi-hour outage) — probe it
+    on a daemon thread and exit nonzero with a parseable error line instead
+    of hanging the driver's bench capture."""
+    import threading
+
+    got = []
+
+    def probe():
+        import jax
+
+        got.append(len(jax.devices()))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not got:
+        print(json.dumps({
+            "metric": "multiview_fused_inference_throughput",
+            "error": f"device backend unreachable after {timeout_s:.0f}s "
+                     "(TPU tunnel down?)",
+        }))
+        raise SystemExit(2)
+
+
 def main():
+    _require_device()
+
     import jax
     import jax.numpy as jnp
 
