@@ -204,25 +204,10 @@ def test(cfg: Config, state, max_batches: Optional[int] = None) -> Dict[str, flo
     predictions = []
     err_joints_acc, total_joints_acc = [], []
 
-    for loader in loaders:
-        for ib, batch in enumerate(loader):
-            if max_batches is not None and ib >= max_batches:
-                break
-            # test batches are (B=1, V, ...) view groups; squeeze the batch
-            # dim so views become the device batch (reference model.py:161-165)
-            group = {k: v[0] for k, v in batch.items()}
-            if cfg.VIS.VIDEO_GT:
-                # GT-overlay debug mode: dump frames, skip inference
-                # (reference tester.py:100-128)
-                _dump_gt_frames(cfg, group, f"ds{loaders.index(loader)}", ib)
-                continue
-            inputs = {
-                k: group[k]
-                for k in ("img", "KRT", "other_img", "other_KRT", "camera",
-                          "other_camera", "heatmap", "visibility")
-                if k in group
-            }
-            out = eval_step(state.params, state.batch_stats, inputs)
+    for ids, loader in enumerate(loaders):
+        ds_tag = f"ds{ids}"
+
+        def process(ib, group, out):
             locs = np.asarray(out["batch_locs"], dtype=np.float64)  # (V, J, 2)
             scores = np.asarray(out["score_pred"], dtype=np.float64)  # (V, J)
 
@@ -231,7 +216,7 @@ def test(cfg: Config, state, max_batches: Optional[int] = None) -> Dict[str, flo
                 # stitches them afterwards (reference tester.py:138-166)
                 from ..vis.visualization import dump_eval_frames
 
-                dump_eval_frames(cfg, group, locs, f"ds{loaders.index(loader)}", ib)
+                dump_eval_frames(cfg, group, locs, ds_tag, ib)
 
             metric_dict: Dict[str, float] = {}
             pred3d = None
@@ -273,6 +258,37 @@ def test(cfg: Config, state, max_batches: Optional[int] = None) -> Dict[str, flo
                         "gt3d": np.asarray(group.get("points-3d")),
                         "corr_pos": np.asarray(out["corr_pos"]) if "corr_pos" in out else None,
                     })
+
+        # Double-buffered drive: dispatch the (async) eval_step for batch
+        # n+1 BEFORE fetching/post-processing batch n, so the device
+        # computes and streams results while the host runs f64
+        # triangulation + PCK.  Holding one un-fetched output tree is safe:
+        # eval loaders allocate fresh batch buffers (reuse_buffers is
+        # train-only, data/pipeline.py).
+        pending = None
+        for ib, batch in enumerate(loader):
+            if max_batches is not None and ib >= max_batches:
+                break
+            # test batches are (B=1, V, ...) view groups; squeeze the batch
+            # dim so views become the device batch (reference model.py:161-165)
+            group = {k: v[0] for k, v in batch.items()}
+            if cfg.VIS.VIDEO_GT:
+                # GT-overlay debug mode: dump frames, skip inference
+                # (reference tester.py:100-128)
+                _dump_gt_frames(cfg, group, ds_tag, ib)
+                continue
+            inputs = {
+                k: group[k]
+                for k in ("img", "KRT", "other_img", "other_KRT", "camera",
+                          "other_camera", "heatmap", "visibility")
+                if k in group
+            }
+            out = eval_step(state.params, state.batch_stats, inputs)
+            if pending is not None:
+                process(*pending)
+            pending = (ib, group, out)
+        if pending is not None:
+            process(*pending)
 
     if cfg.VIS.SAVE_PRED and predictions and cfg.OUTPUT_DIR:
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
