@@ -38,7 +38,7 @@ def _tune_allocator() -> None:
         pass
 
 
-_tune_allocator()
+_allocator_tuned = False
 
 
 def collate(items, out: Optional[Dict[str, np.ndarray]] = None) -> Dict[str, np.ndarray]:
@@ -46,17 +46,27 @@ def collate(items, out: Optional[Dict[str, np.ndarray]] = None) -> Dict[str, np.
 
     With `out` (a previously returned batch dict of matching shapes/dtypes),
     the stack writes into the existing buffers instead of allocating —
-    the ring-reuse path of DataLoader(reuse_buffers=True)."""
+    the ring-reuse path of DataLoader(reuse_buffers=True).  Assignment
+    (not np.copyto) so 0-d item fields — 'camera', 'action' scalars —
+    write through the (B,)-row view too."""
     if out is not None:
         try:
             for k in items[0]:
                 dst = out[k]
                 for j, it in enumerate(items):
-                    np.copyto(dst[j], it[k])
+                    dst[j] = it[k]
             return out
-        except (KeyError, ValueError, TypeError):
+        except (KeyError, ValueError, TypeError, IndexError):
             pass  # shape/dtype/key drift: fall through to fresh allocation
     return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class _ProducerError:
+    """Carrier for an exception raised inside the producer thread; the
+    consumer re-raises it instead of hanging forever on q.get()."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
 
 
 class ConcatDataset:
@@ -96,7 +106,12 @@ class DataLoader:
         num_shards: int = 1,
         num_iterations: Optional[int] = None,
         reuse_buffers: bool = False,
+        ring_depth: Optional[int] = None,
     ):
+        global _allocator_tuned
+        if not _allocator_tuned:
+            _tune_allocator()
+            _allocator_tuned = True
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -107,12 +122,19 @@ class DataLoader:
         self.num_shards = num_shards
         self.num_iterations = num_iterations
         # Ring of reusable batch buffers: batch n and batch n + ring_depth
-        # ALIAS the same memory.  Safe for streaming consumers (the trainer
-        # holds the current batch + one prefetched upload = depth 2 < ring
-        # depth); NOT safe for consumers that accumulate batch references
-        # across iterations — those must keep the default.
+        # ALIAS the same memory.  The safety contract is LIFETIME, not just
+        # "currently held": the trainer's jax.device_put reads the host
+        # buffer ASYNCHRONOUSLY, so a slot must not be overwritten until
+        # that transfer completed.  Production runs at most
+        # (prefetch + consumer lookahead) batches ahead of consumption, and
+        # the trainer materializes step metrics every LOG_FREQ steps — a
+        # hard sync proving all earlier transfers done — so
+        # make_data_loader sizes the ring prefetch + LOG_FREQ + margin.
+        # NOT safe for consumers that accumulate batch references across
+        # iterations — those must keep the default.
         self.reuse_buffers = reuse_buffers
-        self._ring = [None] * (prefetch + 3) if reuse_buffers else None
+        depth = (prefetch + 3) if ring_depth is None else ring_depth
+        self._ring = [None] * depth if reuse_buffers else None
         self.epoch = 0
 
     def __len__(self):
@@ -173,16 +195,22 @@ class DataLoader:
                     continue
             return False
 
-        for n, batch_idx in enumerate(self._batch_indices()):
-            items = [self.dataset[int(i)] for i in batch_idx]
-            if self._ring is not None:
-                slot = n % len(self._ring)
-                self._ring[slot] = collate(items, out=self._ring[slot])
-                batch = self._ring[slot]
-            else:
-                batch = collate(items)
-            if not put(batch):
-                return
+        try:
+            for n, batch_idx in enumerate(self._batch_indices()):
+                items = [self.dataset[int(i)] for i in batch_idx]
+                if self._ring is not None:
+                    slot = n % len(self._ring)
+                    self._ring[slot] = collate(items, out=self._ring[slot])
+                    batch = self._ring[slot]
+                else:
+                    batch = collate(items)
+                if not put(batch):
+                    return
+        except BaseException as exc:  # noqa: BLE001 — relayed, not swallowed
+            # a dataset/sampler error must surface in the CONSUMER, not die
+            # with the daemon thread (which would hang q.get() forever)
+            put(_ProducerError(exc))
+            return
         put(None)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -200,6 +228,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, _ProducerError):
+                    raise batch.exc
                 yield batch
             self.epoch += 1
         finally:
@@ -285,11 +315,16 @@ def make_data_loader(cfg, is_train: bool, shard_id: int = 0, num_shards: int = 1
             shard_id=shard_id,
             num_shards=num_shards,
             num_iterations=num_iterations if is_train else None,
-            # the trainer streams batches (holds current + one prefetched
-            # upload), so ring-reuse is safe there and removes the dominant
-            # page-fault cost of fresh batch allocation; eval loaders keep
-            # fresh buffers (the tester dumps/accumulates per-batch arrays)
-            reuse_buffers=is_train,
+            # Ring-reuse removes the dominant page-fault cost of fresh
+            # batch allocation for the (streaming) trainer; eval loaders
+            # keep fresh buffers (the tester accumulates per-batch arrays).
+            # The depth must outlive the trainer's ASYNC host->device
+            # transfers: the trainer hard-syncs metrics every LOG_FREQ
+            # steps, bounding in-flight transfers, so prefetch + LOG_FREQ
+            # + margin slots suffice.  A huge LOG_FREQ would need an
+            # unbounded ring — fall back to fresh allocation there.
+            reuse_buffers=is_train and cfg.LOG_FREQ <= 50,
+            ring_depth=2 + cfg.LOG_FREQ + 5,
         )
         for ds in datasets
     ]

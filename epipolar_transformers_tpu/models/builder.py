@@ -262,11 +262,15 @@ class ModelBuilder(nn.Module):
                     unit = inputs.get("unit")
                     unit0 = unit[0] if unit is not None and jnp.ndim(unit) >= 1 else unit
                     scale = inputs.get("scale")
-                    kp_scale = scale[:, None] if scale is not None else 1.0
+                    # (V,) -> (V, 1, 1) so it broadcasts over (V, J, 3);
+                    # datasets without 'scale' fuse unscaled
+                    kp_scale = (
+                        scale[:, None, None] if scale is not None else 1.0
+                    )
                     target_global = inputs["points-3d"]
                     tg = target_global[0]
                     tg = tg - tg[0]
-                    gp = (global_pred - global_pred[0]) * kp_scale[..., None]
+                    gp = (global_pred - global_pred[0]) * kp_scale
                     if c.LIFTING.MULTIVIEW_UPPERBOUND:
                         if target.shape[1] < 100:
                             metric_dict["EPEmean_global"] = epe_mean_multiview_gt(

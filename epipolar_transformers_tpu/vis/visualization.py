@@ -191,8 +191,12 @@ def dump_epipolar_debug_pair(cfg, ret: Dict[str, np.ndarray], idx: int) -> Optio
         if abs(l[1]) < 1e-12:
             continue
         x0, x1 = 0, W - 1
-        y0 = int((-l[2] - l[0] * x0) / l[1])
-        y1 = int((-l[2] - l[0] * x1) / l[1])
+        # F's scale is arbitrary: a near-vertical line makes y0/y1 overflow
+        # cv2's C-int coordinates (raising inside the producer thread under
+        # VIS.MULTIVIEWH36M) — clamp to a generous band around the image
+        lim = 32 * max(H, W)
+        y0 = int(np.clip((-l[2] - l[0] * x0) / l[1], -lim, lim))
+        y1 = int(np.clip((-l[2] - l[0] * x1) / l[1], -lim, lim))
         color = tuple(int(c) for c in np.array([60 + 24 * i, 255 - 24 * i, 80]))
         cv2.line(f2, (x0, y0), (x1, y1), color, 1, cv2.LINE_AA)
         cv2.circle(f1, (int(probes[i, 0]), int(probes[i, 1])), 3, color, -1)

@@ -4,11 +4,11 @@ Measures, on the real chip with a device-resident batch:
   * full train step (fwd + bwd + adam + BN update)
   * forward + loss only (jitted value)
   * forward + backward only (value_and_grad, no optimizer)
-and derives the bwd and optimizer shares.  Also verifies the backward pass
-really rides the matmul attention path by jitting the step with
-attention_impl pinned (the dispatch is static — models/epipolar.py — so
-this is a compile-time property, asserted by object identity of the chosen
-branch; a silent fallback would show up as a large fwd/bwd time jump).
+and derives the bwd and optimizer shares.  The whole bench runs with
+EPIPOLAR.ATTENTION_IMPL pinned to 'matmul': a pinned-but-unsupported impl
+raises at trace time (models/epipolar.py), so these numbers PROVE the
+fwd+bwd rode the gather-free matmul path — a silent fallback is
+impossible by construction.
 
 Run on the real TPU:  python scripts/bench_train_step.py
 """
@@ -45,9 +45,13 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch, _flagship_cfg
+    from epipolar_transformers_tpu.config import update_from_dict
     from epipolar_transformers_tpu.engine import create_train_state, make_train_step
 
     cfg = _flagship_cfg()
+    # pin the attention path: unsupported pins RAISE, so the measurement
+    # provably rides the matmul formulation (no silent fallback)
+    cfg = update_from_dict(cfg, {"EPIPOLAR": {"ATTENTION_IMPL": "matmul"}})
     inputs = _example_batch(cfg, batch=BATCH)  # already select_model_inputs'd
     state = create_train_state(cfg, jax.random.PRNGKey(0), inputs)
     inputs = jax.device_put(inputs)

@@ -455,9 +455,18 @@ def main(only=None):
     import torch
     import torch.nn.functional as F
 
-    # the shared rng advances across generators in this fixed order; an
-    # `--only` run of a self-seeded generator (epipolar_grad) is safe, an
-    # `--only` rerun of the rng-shared ones would shift downstream fixtures
+    # The shared rng advances across generators in this fixed order, so an
+    # `--only` rerun of any rng-shared generator would produce fixtures from
+    # a DIFFERENT stream than the canonical full run (silently changing
+    # golden provenance and desynchronizing from already-committed siblings).
+    # Refuse it; only self-seeded generators may regenerate alone.
+    SELF_SEEDED = {"epipolar_grad"}
+    if only is not None and only not in SELF_SEEDED:
+        raise SystemExit(
+            f"--only {only}: this generator shares the sequential "
+            "RandomState(42) stream; regenerate ALL fixtures (no --only) "
+            "so inputs match the canonical full-run stream"
+        )
     rng = np.random.RandomState(42)
     if only in (None, "grid_sample"):
         np.savez_compressed(os.path.join(OUT_DIR, "grid_sample_golden.npz"),

@@ -212,3 +212,18 @@ def test_lifting_engine_eval_branch(tmp_path, monkeypatch):
     assert "EPEmean_can" in results and np.isfinite(results["EPEmean_can"])
     # single-loss dicts collapse to 'loss' (reference model.py:478-484)
     assert "loss" in results and np.isfinite(results["loss"])
+
+
+def test_multiview_global_eval_without_scale(rng):
+    """Datasets that provide no 'scale' fuse unscaled — the float-1.0
+    branch must not be indexed (regression: kp_scale[..., None] on a
+    python float raised TypeError at trace time)."""
+    cfg, inputs, _, gp, tg = _multiview_lifting_setup(rng, medium=False)
+    inputs = {k: v for k, v in inputs.items() if k != "scale"}
+    state = create_train_state(cfg, jax.random.PRNGKey(0), inputs)
+    _, metric_dict, _ = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        inputs, is_train=False,
+    )
+    assert "EPEmean_global" in metric_dict
+    assert np.isfinite(float(metric_dict["EPEmean_global"]))

@@ -206,7 +206,11 @@ class _Indexed:
         return self.n
 
     def __getitem__(self, i):
-        return {"x": np.full((3,), float(i), np.float32)}
+        # the 0-d fields mirror real items ('camera'/'action' scalars) —
+        # ring reuse must write through (B,)-row views of those too
+        return {"x": np.full((3,), float(i), np.float32),
+                "camera": np.int32(i % 4),
+                "action": np.float64(i)}
 
 
 def test_reuse_buffers_ring_contents_and_aliasing():
@@ -214,19 +218,23 @@ def test_reuse_buffers_ring_contents_and_aliasing():
     and a streaming consumer never sees a batch mutated before it moves on."""
     ds = _Indexed(40)
     loader = DataLoader(ds, batch_size=2, shuffle=False, prefetch=2,
-                        reuse_buffers=True)
+                        reuse_buffers=True, ring_depth=5)
     seen_ids = []
     prev = None
     for n, batch in enumerate(loader):
-        # contents correct at the moment of consumption
+        # contents correct at the moment of consumption — incl. the 0-d
+        # scalar fields (np.copyto would raise on those and silently
+        # disable reuse; plain assignment writes through)
         np.testing.assert_array_equal(
             batch["x"][:, 0], np.array([2 * n, 2 * n + 1], np.float32))
+        np.testing.assert_array_equal(
+            batch["camera"], np.array([(2 * n) % 4, (2 * n + 1) % 4]))
         if prev is not None:
             # the ring is deeper than the consumer's working set of 2
             assert batch["x"] is not prev["x"]
         seen_ids.append(id(batch["x"]))
         prev = batch
-    # buffers really were recycled (ring depth = prefetch + 3 = 5)
+    # buffers really were recycled — reuse ENGAGED (no silent fallback)
     assert len(set(seen_ids)) <= 5 < len(seen_ids)
 
 
@@ -238,3 +246,33 @@ def test_reuse_buffers_matches_fresh_allocation():
                                               prefetch=2, reuse_buffers=True)]
     for f, r in zip(fresh, ring):
         np.testing.assert_array_equal(f, r)
+
+
+class _Exploding:
+    def __len__(self):
+        return 16
+
+    def __getitem__(self, i):
+        if i == 5:
+            raise RuntimeError("corrupt sample 5")
+        return {"x": np.zeros((2,), np.float32)}
+
+
+def test_producer_exception_surfaces_in_consumer():
+    """A dataset error inside the prefetch producer thread re-raises in the
+    consuming thread instead of hanging q.get() forever."""
+    loader = DataLoader(_Exploding(), batch_size=2, shuffle=False, prefetch=2)
+    with pytest.raises(RuntimeError, match="corrupt sample 5"):
+        for _ in loader:
+            pass
+
+
+def test_small_dataset_iteration_sampler_raises_not_hangs():
+    """dataset_size < batch_size with num_iterations: the sampler's
+    ValueError must surface in the consumer (it is raised in the producer
+    thread)."""
+    loader = DataLoader(_Indexed(3), batch_size=8, shuffle=False, prefetch=2,
+                        num_iterations=4)
+    with pytest.raises(ValueError, match="batch_size"):
+        for _ in loader:
+            pass
