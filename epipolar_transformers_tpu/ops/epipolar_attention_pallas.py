@@ -24,14 +24,23 @@ Mosaic constraints shaping the code (probed on hardware):
     not lower — so G is built (and consumed) one image row at a time;
   * minor-dim transposes are avoided by building each profile directly in
     the layout its contraction needs (yprof as (Q, H, K), xprof as (Q, K, W));
-  * batched dot_general (batch dim 0) and broadcasted_iota lower fine.
+  * batched dot_general (batch dim 0) and broadcasted_iota lower fine —
+    but iota must be INTEGER-typed (tpu.iota rejects float results) and
+    dots default to bf16 MXU rounding (pass precision= explicitly);
+  * the scoped-VMEM limit is 16 MB: QT=64 tiles fit, QT=128 needs 20.97 MB.
 
-Forward-only and NOT wired into any production dispatch: the Mosaic
-toolchain currently fails to lower the profile-construction pattern on
-real TPUs (see PERF.md "Pallas status"), so this kernel is validated in
-interpreter mode only (tests/test_epipolar_pallas.py) and production
-inference/training both take the autodiff-able matmul path
-(models/epipolar.py dispatch).
+Hardware status (v5e, round 3 — scripts/probe_pallas_tent.py /
+probe_pallas_stages.py): the tent formulation COMPILES AND RUNS on the
+real chip and is EXACT at mxu_precision='highest' (max abs err 6e-6 vs an
+exact-f32 CPU run; the XLA matmul path itself sits 0.031 away due to its
+own bf16 MXU rounding).  It is however ~3.7x SLOWER than the XLA matmul
+formulation at the flagship shape (25.2 ms vs 6.9 ms, batch 8; 15.1 ms at
+bf16 precision): the row-looped G/out dots serialize 2*H small MXU
+operations per tile, which costs more than the HBM roundtrips the fusion
+saves.  Production dispatch therefore stays on the (autodiff-able) matmul
+path — now a measured perf decision, no longer a toolchain blocker.
+Forward-only; exercised by tests/test_epipolar_pallas.py in interpreter
+mode and by the probe scripts on hardware.
 """
 
 from __future__ import annotations
@@ -63,9 +72,12 @@ def supports_pallas_attention(params: AttentionParams, shared_kv: bool,
 
 
 def _tile(hw: int) -> int:
-    """Query-tile size: 128 keeps the per-program VMEM footprint ~9 MB at
-    the flagship shape (f2 2MB + G 2MB + T/profiles/nmat ~4MB)."""
-    return min(128, hw)
+    """Query-tile size.  64 keeps the per-program VMEM footprint under the
+    16 MB scoped limit at the flagship shape: the (QT,H,W) G scratch and the
+    (QT,K,W)/(QT,H,K) profile intermediates all scale with QT (1 MB each at
+    QT=64) on top of the pipelined f2 block (4 MB f32, double-buffered).
+    QT=128 was measured to need 20.97 MB on the real v5e toolchain."""
+    return min(64, hw)
 
 
 def _kernel(f1_ref, f2_ref, xb_ref, wx0_ref, wx1_ref, yb_ref, wy0_ref,
@@ -141,7 +153,7 @@ def _kernel(f1_ref, f2_ref, xb_ref, wx0_ref, wx1_ref, yb_ref, wy0_ref,
 
 def _kernel_tent(f1_ref, f2_ref, x_ref, y_ref, ones_w_ref, ones_h_ref,
                  out_ref, w_ref, g_scratch, *, H, W, K, softmax_enabled,
-                 softmax_scale):
+                 softmax_scale, mxu_precision=jax.lax.Precision.HIGHEST):
     """Profile construction reformulated to dodge the Mosaic crash class
     "lane-broadcast elementwise / iota-compare coexisting with dot_general"
     (PERF.md "Pallas fused-kernel investigation"):
@@ -166,7 +178,8 @@ def _kernel_tent(f1_ref, f2_ref, x_ref, y_ref, ones_w_ref, ones_h_ref,
         row = f2_ref[0, pl.ds(yy, 1)][0]  # (W, C)
         g = jax.lax.dot_general(
             f1t, row, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (QT, W)
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision)  # (QT, W)
         g_scratch[:, pl.ds(yy, 1), :] = g.astype(g_scratch.dtype)[:, None, :]
         return 0
 
@@ -174,26 +187,34 @@ def _kernel_tent(f1_ref, f2_ref, x_ref, y_ref, ones_w_ref, ones_h_ref,
 
     one = jnp.float32(1.0)
 
-    # X2[q, k, w] = x[q, k]  (batched rank-1 MXU broadcast: (QT,K,1)@(QT,1,W))
+    # X2[q, k, w] = x[q, k]  (batched rank-1 MXU broadcast: (QT,K,1)@(QT,1,W)).
+    # The broadcast dots are ALWAYS exact (HIGHEST): at default precision the
+    # MXU rounds the f32 coordinates to bf16, which skews every tent profile
+    # (measured on hardware: 0.0156 abs coordinate error -> systematic
+    # weight/output divergence, scripts/probe_pallas_stages.py).
     x2 = jax.lax.dot_general(
         x_ref[0][..., None], ones_w_ref[0],
         (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (QT, K, W)
-    xi = jax.lax.broadcasted_iota(jnp.float32, (QT, K, W), 2)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # (QT, K, W)
+    # Mosaic's tpu.iota only admits integer results; cast after.
+    xi = jax.lax.broadcasted_iota(jnp.int32, (QT, K, W), 2).astype(jnp.float32)
     xprof = jnp.maximum(one - jnp.abs(xi - x2), 0.0).astype(prof_dtype)
 
     # Y2[q, h, k] = y[q, k]  ((QT,H,1)-ones @ (QT,1,K)-y)
     y2 = jax.lax.dot_general(
         ones_h_ref[0], y_ref[0][:, None, :],
         (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (QT, H, K)
-    yi = jax.lax.broadcasted_iota(jnp.float32, (QT, H, K), 1)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # (QT, H, K)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (QT, H, K), 1).astype(jnp.float32)
     yprof_t = jnp.maximum(one - jnp.abs(yi - y2), 0.0).astype(prof_dtype)
 
     T = jax.lax.dot_general(
         g_scratch[:].astype(prof_dtype), xprof,
         (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (QT, H, K)
+        preferred_element_type=jnp.float32,
+        precision=mxu_precision)  # (QT, H, K)
 
     sim = jnp.sum(T * yprof_t.astype(jnp.float32), axis=1)  # (QT, K)
     masked = jnp.where(sim == 0.0, NEG_INF, sim)
@@ -206,7 +227,8 @@ def _kernel_tent(f1_ref, f2_ref, x_ref, y_ref, ones_w_ref, ones_h_ref,
     yw = (yprof_t.astype(jnp.float32) * w[:, None, :]).astype(prof_dtype)
     nmat = jax.lax.dot_general(
         yw, xprof, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (QT, H, W)
+        preferred_element_type=jnp.float32,
+        precision=mxu_precision)  # (QT, H, W)
     g_scratch[:] = nmat
 
     def out_row(yy, acc):
@@ -214,7 +236,8 @@ def _kernel_tent(f1_ref, f2_ref, x_ref, y_ref, ones_w_ref, ones_h_ref,
         nrow = g_scratch[:, pl.ds(yy, 1), :][:, 0, :].astype(prof_dtype)
         return acc + jax.lax.dot_general(
             nrow, row, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision)
 
     acc = jax.lax.fori_loop(
         0, H, out_row, jnp.zeros((QT, C), jnp.float32))
@@ -222,7 +245,8 @@ def _kernel_tent(f1_ref, f2_ref, x_ref, y_ref, ones_w_ref, ones_h_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("params", "interpret", "profile_mode"))
+                   static_argnames=("params", "interpret", "profile_mode",
+                                    "mxu_precision"))
 def epipolar_attention_pallas(
     feat1: jnp.ndarray,
     other: jnp.ndarray,
@@ -230,6 +254,7 @@ def epipolar_attention_pallas(
     params: AttentionParams,
     interpret: bool = False,
     profile_mode: str = "tent",
+    mxu_precision: str = "highest",
 ):
     """Batched fused epipolar attention (shared key/value features).
 
@@ -244,6 +269,13 @@ def epipolar_attention_pallas(
             (see _kernel_tent); 'slots' is the original iota-compare
             construction (known NOT to lower on the current toolchain,
             kept for interpreter cross-checks).
+        mxu_precision: 'highest' (default) runs the heavy contractions
+            (G/T/nmat/out) as exact f32 MXU passes — hardware-parity with
+            the matmul path; 'default' lets them round to bf16 (production
+            compute dtype class, ~2x faster on paper).  The coordinate
+            broadcast dots are HIGHEST regardless (bf16-rounded sample
+            coordinates systematically skew the tent profiles —
+            scripts/probe_pallas_stages.py).
     Returns:
         out: (N, H, W, C), corr_pos: (N, H, W, 2), depth: (N, K, H, W) —
         same contract as epipolar_attention_matmul_batch.
@@ -282,6 +314,10 @@ def epipolar_attention_pallas(
     kern_kw = dict(H=H, W=W, K=K,
                    softmax_enabled=params.softmax_enabled,
                    softmax_scale=float(params.softmax_scale))
+    tent_kw = dict(kern_kw, mxu_precision={
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[mxu_precision])
 
     if profile_mode == "tent":
         # ones refs for the rank-1 dot_general broadcasts (ref-loaded
@@ -289,7 +325,7 @@ def epipolar_attention_pallas(
         ones_w = jnp.ones((1, QT, 1, W), jnp.float32)
         ones_h = jnp.ones((1, QT, H, 1), jnp.float32)
         out, w = pl.pallas_call(
-            functools.partial(_kernel_tent, **kern_kw),
+            functools.partial(_kernel_tent, **tent_kw),
             grid=grid,
             in_specs=[
                 f1_spec, f2_spec, tile_qk, tile_qk,

@@ -67,6 +67,18 @@ def main():
     derr = float(np.max(np.abs(np.asarray(depth) - np.asarray(r_depth))))
     print(json.dumps({"parity_max_abs_err": {"out": err, "depth": derr}}))
 
+    # Attribute the residual: exact-f32 CPU run of the same matmul path.
+    cpu = jax.devices("cpu")[0]
+    c_out, _, c_depth = jax.jit(
+        lambda a, b, c: epipolar_attention_matmul_batch(a, b, b, c, params),
+        device=cpu)(*jax.device_put((f1, f2, locs), cpu))
+    for name, a in [("pallas_highest", (out, depth)),
+                    ("xla_matmul_tpu", (r_out, r_depth))]:
+        e = float(np.max(np.abs(np.asarray(a[0]) - np.asarray(c_out))))
+        de = float(np.max(np.abs(np.asarray(a[1]) - np.asarray(c_depth))))
+        print(json.dumps({"vs_exact_f32_cpu": name,
+                          "out_err": round(e, 6), "depth_err": round(de, 6)}))
+
     def bench(fn, args):
         _ = np.asarray(jnp.sum(fn(*args)[0]))
         best = float("inf")
@@ -82,11 +94,16 @@ def main():
     t_pallas = bench(
         lambda a, b, c: epipolar_attention_pallas(
             a, b, c, params, profile_mode="tent"), (f1, f2, locs))
-    t_matmul = bench(
-        lambda a, b, c: epipolar_attention_matmul_batch(a, b, b, c, params),
-        (f1, f2, locs))
+    t_pallas_bf16 = bench(
+        lambda a, b, c: epipolar_attention_pallas(
+            a, b, c, params, profile_mode="tent",
+            mxu_precision="default"), (f1, f2, locs))
+    matmul_jit = jax.jit(
+        lambda a, b, c: epipolar_attention_matmul_batch(a, b, b, c, params))
+    t_matmul = bench(matmul_jit, (f1, f2, locs))
     print(json.dumps({
         "pallas_tent_ms": round(max(t_pallas - floor, 0) * 1e3, 2),
+        "pallas_tent_bf16_ms": round(max(t_pallas_bf16 - floor, 0) * 1e3, 2),
         "xla_matmul_ms": round(max(t_matmul - floor, 0) * 1e3, 2),
         "batch": BATCH,
     }))
