@@ -48,9 +48,10 @@ class Epipolar(nn.Module):
     # 'auto' (default): the gather-free matmul formulation
     # (ops/epipolar_attention_matmul.py — MXU-only, no XLA gathers) for every
     # config except sample POOLING (avg/max attention, dot/cos/prior
-    # similarity all supported); POOLING configs take the materialized
-    # corner-table path (ops/epipolar_attention_pooled.py — one big gather
-    # pass instead of a K/2-step scan); anything else streams.
+    # similarity all supported); POOLING configs stream (the scan measures
+    # faster than the materialized corner-table path on the v5e,
+    # scripts/bench_param.py) except under prior similarity, which only the
+    # pooled path (ops/epipolar_attention_pooled.py) expresses.
     # 'matmul' / 'pooled' / 'streaming' / 'reference' force one.  The
     # module default "" defers to cfg.EPIPOLAR.ATTENTION_IMPL so the choice
     # is reachable from the CLI (EPIPOLAR.ATTENTION_IMPL streaming);
@@ -224,14 +225,19 @@ class Epipolar(nn.Module):
                         q, o1, o2, s, params, p
                     )
                 )(query, other1, other2, sample_locs, prior)
-        elif (
-            self.impl in ("auto", "pooled")
-            and supports_pooled_attention(params)
+        elif supports_pooled_attention(params) and (
+            self.impl == "pooled"
+            or (self.impl == "auto" and e.SIMILARITY == "prior")
         ):
             # POOLING: materialized corner-table path — one big gather pass
             # instead of the streaming K/2-step scan.  The full weight stack
             # ('depth') comes free; jax.checkpoint keeps the (K, H, W, C)
             # sample stack out of the saved residuals under autodiff.
+            # On the real v5e the streaming scan measures FASTER at the
+            # param-config shape (128.9 vs 177.2 ms, scripts/bench_param.py),
+            # so 'auto' only lands here when streaming can't express the
+            # config (prior similarity); force ATTENTION_IMPL=pooled to
+            # bench/compare.
             shared = self._shared_kv()
             fn = jax.checkpoint(
                 lambda q, o1, o2, s, p: epipolar_attention_pooled(
