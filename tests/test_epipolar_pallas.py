@@ -77,6 +77,25 @@ def test_pallas_real_geometry(rng, camera_ring, profile_mode):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("mxu_precision", ["highest", "default"])
+def test_pallas_tent_precision_knob(rng, mxu_precision):
+    """Both mxu_precision settings trace/run (the interpreter computes f32
+    either way; on hardware 'default' lets the heavy contractions round to
+    bf16 while the coordinate-broadcast dots stay exact — see the module
+    docstring and scripts/probe_pallas_stages.py)."""
+    f1, f2, locs = _batch(rng, N=1)
+    params = AttentionParams(softmax_scale=1 / np.sqrt(8))
+    out, _, depth = epipolar_attention_pallas(
+        f1, f2, locs, params, interpret=True, profile_mode="tent",
+        mxu_precision=mxu_precision)
+    r_out, _, r_depth = epipolar_attention(f1[0], f2[0], f2[0], locs[0],
+                                           params)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(r_out),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth[0]), np.asarray(r_depth),
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("profile_mode", ["tent", "slots"])
 def test_pallas_all_out_of_range(rng, profile_mode):
     f1, f2, _ = _batch(rng, N=1)
