@@ -193,6 +193,11 @@ class DataloaderConfig(_Node):
     NUM_WORKERS: int = 20
     PIN_MEMORY: bool = True
     BENCHMARK: bool = False
+    # TPU-native extension (no reference analog): synthetic-rig train items
+    # carry only joint coords + cameras and the trainer splats img/heatmap
+    # on-device (ops/synthetic_render.py) — shrinks the per-step host->
+    # device upload from ~38 MB to ~KBs on tunnel-attached hosts.
+    DEVICE_RENDER: bool = False
 
 
 @dataclass(frozen=True)

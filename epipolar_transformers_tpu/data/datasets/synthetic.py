@@ -19,6 +19,7 @@ import numpy as np
 from ...config import Config
 from ...geometry.camera import neighbor_cameras
 from ...ops.heatmap import make_heatmap_grid
+from ...ops.synthetic_render import joint_colors
 from ..transforms.affine import affine_transform_pts, get_affine_transform
 
 _CLIP = 4.60517019  # -ln(0.01), reference keypoints2d.py:30
@@ -63,11 +64,18 @@ class SyntheticMultiview:
     multiview_h36m.py:226-252.
     """
 
-    def __init__(self, cfg: Config, is_train: bool, n_samples: int = 256, seed: int = 0):
+    def __init__(self, cfg: Config, is_train: bool, n_samples: int = 256,
+                 seed: int = 0, device_render: bool | None = None):
         self.cfg = cfg
         self.is_train = is_train
         self.n_samples = n_samples
         self.seed = seed
+        # DATALOADER.DEVICE_RENDER: train items carry only joint coords +
+        # cameras; the trainer splats img/heatmap on-device
+        # (ops/synthetic_render.py) — removes the bulky pixel upload.
+        if device_render is None:
+            device_render = bool(cfg.DATALOADER.DEVICE_RENDER)
+        self.device_render = bool(device_render) and is_train
         H, W = cfg.DATASETS.IMAGE_SIZE
         self.image_size = (int(H), int(W))
         self.num_joints = cfg.KEYPOINT.NUM_PTS
@@ -92,11 +100,9 @@ class SyntheticMultiview:
         # image-splat grid at full res, sigma 6
         self._img_grid = make_heatmap_grid(self.image_size, 1, 3.0)
         # maximally distinct per-joint colors (evenly spaced hues) so joint
-        # identity is unambiguous — random colors collide and cap JDR
-        hues = np.linspace(0.0, 1.0, self.num_joints, endpoint=False)
-        self._joint_colors = np.stack(
-            [self._hsv_to_rgb(h, 0.9, 1.0) for h in hues]
-        ).astype(np.float32)
+        # identity is unambiguous — random colors collide and cap JDR;
+        # shared with the device renderer (ops/synthetic_render.py)
+        self._joint_colors = joint_colors(self.num_joints)
         # constant background: every joint's clipped-Gaussian floor exp(-clip)
         # times its color (contiguous, copied per render)
         self._img_base = np.ascontiguousarray(
@@ -105,13 +111,6 @@ class SyntheticMultiview:
                 (*self.image_size, 3),
             ).astype(np.float32)
         )
-
-    @staticmethod
-    def _hsv_to_rgb(h, s, v):
-        i = int(h * 6) % 6
-        f = h * 6 - int(h * 6)
-        p, q, t = v * (1 - s), v * (1 - f * s), v * (1 - (1 - f) * s)
-        return [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)][i]
 
     def __len__(self):
         return self.n_samples
@@ -218,7 +217,8 @@ class SyntheticMultiview:
             if np.random.rand() <= 0.6 else 0.0
         return scale, rotation
 
-    def _view_dict(self, view: int, X: np.ndarray) -> Dict[str, np.ndarray]:
+    def _view_dict(self, view: int, X: np.ndarray,
+                   render: bool = True) -> Dict[str, np.ndarray]:
         pts2d = self._project(view, X)
         K = self.rig["K"][view]
         KRT = self.rig["KRT"][view]
@@ -242,20 +242,23 @@ class SyntheticMultiview:
                 & (pts2d[:, 1] >= 0) & (pts2d[:, 1] < H)
             )
             visibility = inside.astype(np.float32)
-        heatmap = self._gauss_maps_fast(
-            self._hm_grid, self.sigma, pts2d, self.downsample
-        )  # (J, h, w)
-        heatmap *= visibility[:, None, None]
-        return {
-            "img": self._render_image(pts2d),
-            "heatmap": heatmap.transpose(1, 2, 0),  # (h, w, J) NHWC
+        out: Dict[str, np.ndarray] = {}
+        if render:
+            heatmap = self._gauss_maps_fast(
+                self._hm_grid, self.sigma, pts2d, self.downsample
+            )  # (J, h, w)
+            heatmap *= visibility[:, None, None]
+            out["img"] = self._render_image(pts2d)
+            out["heatmap"] = heatmap.transpose(1, 2, 0)  # (h, w, J) NHWC
+        out.update({
             "visibility": visibility,
             "KRT": KRT.astype(np.float32),
             "K": K.astype(np.float32),
             "RT": self.rig["RT"][view].astype(np.float32),
             "points-2d": pts2d.astype(np.float32),
             "camera": np.int32(view),
-        }
+        })
+        return out
 
     # ------------------------------------------------------------ items
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
@@ -266,18 +269,24 @@ class SyntheticMultiview:
             # idx-seeded choice would train each skeleton from ONE view only
             ref = int(np.random.randint(self.n_views))
             other = self.nearest[ref]
-            item = self._view_dict(ref, X)
-            other_item = self._view_dict(other, X)
+            render = not self.device_render
+            item = self._view_dict(ref, X, render=render)
+            other_item = self._view_dict(other, X, render=render)
             item.update(
                 {
-                    "other_img": other_item["img"],
                     "other_KRT": other_item["KRT"],
-                    "other_heatmap": other_item["heatmap"],
                     "other_camera": np.int32(other),
                     "points-3d": X.astype(np.float32),
                     "action": np.int32(0),
                 }
             )
+            if render:
+                item["other_img"] = other_item["img"]
+                item["other_heatmap"] = other_item["heatmap"]
+            else:
+                # device-render mode: ship only the other view's joint
+                # coords; ops/synthetic_render.py splats both views on-device
+                item["other_points-2d"] = other_item["points-2d"]
             return item
         # test: stack all views + each view's nearest other (multiview_h36m.py:226-252)
         views = [self._view_dict(v, X) for v in range(self.n_views)]

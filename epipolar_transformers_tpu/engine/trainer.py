@@ -50,6 +50,26 @@ def select_model_inputs(cfg: Config, batch: Dict[str, np.ndarray]) -> Dict[str, 
     return {k: batch[k] for k in keys if k in batch}
 
 
+def select_render_inputs(cfg: Config, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Model inputs + the joint-coord keys a device-render batch carries
+    instead of pixel data (DATALOADER.DEVICE_RENDER)."""
+    from ..ops.synthetic_render import RENDER_PARAM_KEYS
+
+    out = select_model_inputs(cfg, batch)
+    out.update({k: batch[k] for k in RENDER_PARAM_KEYS if k in batch})
+    return out
+
+
+def materialize_model_inputs(cfg: Config, batch: Dict[str, np.ndarray]):
+    """Return the model-input dict, splatting img/heatmap on-device first
+    when `batch` is a device-render param batch (no pixel data)."""
+    if "img" in batch:
+        return select_model_inputs(cfg, batch)
+    from ..ops.synthetic_render import make_batch_renderer
+
+    return make_batch_renderer(cfg)(select_render_inputs(cfg, batch))
+
+
 def create_train_state(cfg: Config, rng, sample_inputs: Dict, steps_per_epoch: int = 1) -> TrainState:
     model = ModelBuilder(cfg)
     # jit the init: one compiled program instead of per-op eager dispatch
@@ -136,8 +156,8 @@ def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None)
     init_rng, dropout_rng = jax.random.split(rng)
 
     first_batch = next(iter(loader))
-    sample_inputs = select_model_inputs(cfg, first_batch)
     with mesh:
+        sample_inputs = materialize_model_inputs(cfg, first_batch)
         state = create_train_state(cfg, init_rng, sample_inputs, steps_per_epoch)
 
     checkpointer = Checkpointer(cfg.OUTPUT_DIR)
@@ -175,6 +195,23 @@ def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None)
     step = 0
     t_data, t_step = 0.0, 0.0
 
+    render_fn = None
+
+    def to_device(batch):
+        """Sharded device_put of the model inputs; device-render param
+        batches (DATALOADER.DEVICE_RENDER) upload only joint coords +
+        cameras and splat img/heatmap on-device — batch-parallel ops, so
+        GSPMD keeps the rendered outputs sharded like their inputs."""
+        nonlocal render_fn
+        if "img" in batch:
+            return shard_batch(select_model_inputs(cfg, batch), mesh, cfg.MESH_AXIS)
+        if render_fn is None:
+            from ..ops.synthetic_render import make_batch_renderer
+
+            render_fn = make_batch_renderer(cfg)
+        return render_fn(
+            shard_batch(select_render_inputs(cfg, batch), mesh, cfg.MESH_AXIS))
+
     def device_batches(it, lookahead: int = 2):
         """Host->device prefetch: issue the (async) sharded device_put of
         the next batch while the current step computes, so the transfer
@@ -186,9 +223,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None)
         pending = deque()
         with mesh:
             for batch in it:
-                pending.append(
-                    shard_batch(select_model_inputs(cfg, batch), mesh, cfg.MESH_AXIS)
-                )
+                pending.append(to_device(batch))
                 if len(pending) >= lookahead:
                     yield pending.popleft()
             while pending:

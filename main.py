@@ -107,12 +107,12 @@ def _dispatch(cfg, args, run_train, run_test, logger):
             from epipolar_transformers_tpu.data.pipeline import make_data_loader
             from epipolar_transformers_tpu.engine.trainer import (
                 create_train_state,
-                select_model_inputs,
+                materialize_model_inputs,
             )
             from epipolar_transformers_tpu.utils.checkpoint import Checkpointer
 
             loader = make_data_loader(cfg, is_train=True)
-            sample = select_model_inputs(cfg, next(iter(loader)))
+            sample = materialize_model_inputs(cfg, next(iter(loader)))
             # create_train_state already imports foreign-format WEIGHTS
             # (.pth/.pickle) and catalog pretrained backbones
             state = create_train_state(cfg, jax.random.PRNGKey(cfg.SEED), sample)
