@@ -210,9 +210,36 @@ class ModelBuilder(nn.Module):
             if task in ("lifting_direct", "keypoint_lifting_direct"):
                 target = normed_target
 
+            fused_bb = None
             if task == "keypoint_lifting_direct":
                 bb = self.backbone(inputs["img"], train=False, decode_peaks=False)
                 feat = bb.heatmaps[-1]
+            elif task == "multiview_img_lifting_rot":
+                # Reference model.py:416-419: sibling backbone runs the other
+                # view under no_grad (unconditionally — no OTHER_GRAD check
+                # for this task), then the epipolar reference model fuses the
+                # views; the lifting consumes the fused prediction.  The
+                # reference's own branch is bit-rotted (it 4-unpacks the
+                # backbone's 8-tuple, and see LiftingNet._use_image_features
+                # for the forward/__init__ contradiction), so this implements
+                # the documented intent: fused heatmaps -> pool=2 lifting.
+                other_out = self.backbone(
+                    inputs["other_img"], train=net_train, decode_peaks=False
+                )
+                other_features = jax.tree_util.tree_map(
+                    jax.lax.stop_gradient, other_out.features
+                )
+                fused_bb = self.reference(
+                    inputs["img"],
+                    other_features=other_features,
+                    other_KRT=inputs["other_KRT"],
+                    KRT=inputs["KRT"],
+                    camera=inputs.get("camera"),
+                    other_camera=inputs.get("other_camera"),
+                    train=net_train,
+                    decode_peaks=not is_train,
+                )
+                feat = fused_bb.heatmaps[-1]
             elif self._uses_backbone_features(task):
                 feat = self.backbone(inputs["img"], train=is_train)
             else:
@@ -223,6 +250,11 @@ class ModelBuilder(nn.Module):
                 multiview=(not is_train) and c.VIS.MULTIVIEW,
             )
             out = {"can_pred": coords}
+            if fused_bb is not None:
+                out["heatmap_pred"] = fused_bb.heatmaps[-1]
+                if fused_bb.locs is not None:
+                    out["batch_locs"] = fused_bb.locs
+                    out["score_pred"] = fused_bb.scores
             if R is not None:
                 out["R_pred"] = R
                 out["normed_pred"] = normed
@@ -354,4 +386,5 @@ class ModelBuilder(nn.Module):
 
     @staticmethod
     def _uses_backbone_features(task: str) -> bool:
-        return task in ("img_lifting_rot", "multiview_img_lifting_rot")
+        # multiview_img_lifting_rot takes the dedicated fused-heatmap branch
+        return task == "img_lifting_rot"

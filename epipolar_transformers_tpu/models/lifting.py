@@ -86,7 +86,14 @@ class LiftingNet(nn.Module):
     in_channels: int = 0
 
     def _use_image_features(self) -> bool:
-        return self.cfg.DATASETS.TASK in ("img_lifting_rot", "multiview_img_lifting_rot")
+        # img_lifting_rot ONLY.  The reference is self-contradictory for
+        # multiview_img_lifting_rot: its __init__ builds the pool=2 heatmap
+        # conv path for that task (lifting.py:20-21) while its forward()
+        # skips the conv path (lifting.py:99) and then reads the undefined
+        # `y` — bit-rot that crashes at runtime.  The __init__ reading is
+        # the only self-consistent one, so here the multiview task lifts
+        # the epipolar-FUSED heatmaps through the heatmap path (pool=2).
+        return self.cfg.DATASETS.TASK == "img_lifting_rot"
 
     def _direct(self) -> bool:
         return self.cfg.DATASETS.TASK in ("lifting", "lifting_direct", "keypoint_lifting_direct")
