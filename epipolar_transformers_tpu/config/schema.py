@@ -361,10 +361,6 @@ UNCONSUMED_OPTIONS = {
         "its own crop pipeline"
     ),
     "DATASETS.INCLUDE_GREY_IMGS": "dead in reference (no reader)",
-    "DATALOADER.NUM_WORKERS": (
-        "n/a by design: the thread-prefetch DataLoader (data/pipeline.py) "
-        "sizes itself; torch worker processes do not exist"
-    ),
     "DATALOADER.PIN_MEMORY": (
         "n/a by design: host->device transfer is jax.device_put with async "
         "prefetch (engine/trainer.py device_batches); no pinned staging"

@@ -18,6 +18,7 @@ from ..transforms.keypoints3d import canonical_trafo, flip_hand, palm_coord
 
 
 class RHDDataset:
+    io_bound = True  # cv2 png decode per item -> process workers eligible
     def __init__(self, cfg: Config, root: str, subset: str = "training", is_train: bool = False):
         self.cfg = cfg
         self.is_train = is_train

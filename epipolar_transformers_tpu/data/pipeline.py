@@ -11,6 +11,9 @@ would shard by jax.process_index().
 from __future__ import annotations
 
 import ctypes
+import multiprocessing as mp
+import os
+import pickle
 import queue
 import threading
 from typing import Dict, Iterator, Optional
@@ -69,6 +72,33 @@ class _ProducerError:
         self.exc = exc
 
 
+def _worker_loop(dataset, task_q, result_q):
+    """Worker-process body: pull (seq, idx) tasks, push (seq, items, err).
+
+    Errors are shipped as pickled-exception bytes (never as live objects —
+    an unpicklable exception would kill mp.Queue's feeder thread silently
+    and hang the consumer); the consumer re-raises the original when it
+    unpickles, else a RuntimeError carrying the repr."""
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        seq, idx = task
+        try:
+            items = [dataset[int(i)] for i in idx]
+            result_q.put((seq, items, None))
+        except BaseException as exc:  # noqa: BLE001 — relayed to the consumer
+            try:
+                payload = pickle.dumps(exc)
+                pickle.loads(payload)  # round-trip check before shipping
+            except Exception:
+                payload = pickle.dumps(
+                    RuntimeError(f"DataLoader worker item failed: {exc!r}")
+                )
+            result_q.put((seq, None, payload))
+            return
+
+
 class ConcatDataset:
     """Concatenation of datasets for multi-dataset training (reference
     data/build.py:59-63 uses torch's ConcatDataset)."""
@@ -107,6 +137,7 @@ class DataLoader:
         num_iterations: Optional[int] = None,
         reuse_buffers: bool = False,
         ring_depth: Optional[int] = None,
+        num_workers: int = 0,
     ):
         global _allocator_tuned
         if not _allocator_tuned:
@@ -135,6 +166,14 @@ class DataLoader:
         self.reuse_buffers = reuse_buffers
         depth = (prefetch + 3) if ring_depth is None else ring_depth
         self._ring = [None] * depth if reuse_buffers else None
+        # num_workers > 0: torch-DataLoader-style worker PROCESSES produce
+        # items (reference data/build.py:79-84 consumes
+        # DATALOADER.NUM_WORKERS); collate stays consumer-side so the
+        # ring-buffer reuse contract is unchanged.  The GIL-bound thread
+        # producer starves the chip on real-image pipelines (cv2 JPEG decode
+        # + 1000^2 undistort per item); processes are the only way to scale
+        # that on a many-core host.
+        self.num_workers = num_workers
         self.epoch = 0
 
     def __len__(self):
@@ -198,13 +237,7 @@ class DataLoader:
         try:
             for n, batch_idx in enumerate(self._batch_indices()):
                 items = [self.dataset[int(i)] for i in batch_idx]
-                if self._ring is not None:
-                    slot = n % len(self._ring)
-                    self._ring[slot] = collate(items, out=self._ring[slot])
-                    batch = self._ring[slot]
-                else:
-                    batch = collate(items)
-                if not put(batch):
+                if not put(self._collate_seq(n, items)):
                     return
         except BaseException as exc:  # noqa: BLE001 — relayed, not swallowed
             # a dataset/sampler error must surface in the CONSUMER, not die
@@ -213,7 +246,99 @@ class DataLoader:
             return
         put(None)
 
+    def _collate_seq(self, seq: int, items) -> Dict[str, np.ndarray]:
+        """Collate with optional ring-slot reuse (slot keyed by sequence)."""
+        if self._ring is not None:
+            slot = seq % len(self._ring)
+            self._ring[slot] = collate(items, out=self._ring[slot])
+            return self._ring[slot]
+        return collate(items)
+
+    def _mp_iter(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Process-pool item production (num_workers > 0).
+
+        Any idle worker takes the next (seq, idx) task off one shared queue;
+        the consumer reorders results by seq, so the yielded batch stream is
+        IDENTICAL to the single-producer path (same indices, same order) —
+        only the item computation is parallel.  'fork' start method: workers
+        inherit the dataset without pickling and never touch the device.
+        """
+        ctx = mp.get_context("fork")
+        task_q = ctx.Queue()
+        result_q = ctx.Queue()
+        workers = [
+            ctx.Process(
+                target=_worker_loop, args=(self.dataset, task_q, result_q),
+                daemon=True, name=f"loader-worker-{w}",
+            )
+            for w in range(self.num_workers)
+        ]
+        for p in workers:
+            p.start()
+
+        batch_iter = enumerate(self._batch_indices())
+        state = {"dispatched": 0, "exhausted": False}
+
+        def dispatch_one() -> None:
+            if state["exhausted"]:
+                return
+            try:
+                seq, idx = next(batch_iter)
+            except StopIteration:
+                state["exhausted"] = True
+                return
+            task_q.put((seq, np.asarray(idx)))
+            state["dispatched"] += 1
+
+        try:
+            # keep ~2 tasks in flight per worker (+ prefetch headroom)
+            for _ in range(2 * self.num_workers + self.prefetch):
+                dispatch_one()
+            buffer = {}
+            next_seq = 0
+            while not (state["exhausted"] and next_seq >= state["dispatched"]):
+                while next_seq not in buffer:
+                    try:
+                        seq, items, err = result_q.get(timeout=5.0)
+                    except queue.Empty:
+                        dead = [p for p in workers if not p.is_alive()
+                                and p.exitcode not in (0, None)]
+                        if dead and not buffer:
+                            raise RuntimeError(
+                                f"DataLoader worker {dead[0].name} (pid "
+                                f"{dead[0].pid}) died with exitcode "
+                                f"{dead[0].exitcode} (OOM / signal?)"
+                            )
+                        continue
+                    buffer[seq] = (items, err)
+                items, err = buffer.pop(next_seq)
+                if err is not None:
+                    raise pickle.loads(err)
+                yield self._collate_seq(next_seq, items)
+                next_seq += 1
+                dispatch_one()
+            self.epoch += 1
+        finally:
+            for _ in workers:
+                try:
+                    task_q.put_nowait(None)
+                except Exception:
+                    break
+            for p in workers:
+                p.join(timeout=1.0)
+            for p in workers:
+                if p.is_alive():
+                    p.terminate()
+                    p.join(timeout=1.0)
+            # mp.Queue feeder threads must not block interpreter shutdown
+            for q_ in (task_q, result_q):
+                q_.cancel_join_thread()
+                q_.close()
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers > 0:
+            yield from self._mp_iter()
+            return
         if self.prefetch <= 0:
             for batch_idx in self._batch_indices():
                 yield collate([self.dataset[int(i)] for i in batch_idx])
@@ -308,6 +433,15 @@ def make_data_loader(cfg, is_train: bool, shard_id: int = 0, num_shards: int = 1
     loaders = [
         DataLoader(
             ds,
+            # DATALOADER.NUM_WORKERS (reference data/build.py:79-84) spawns
+            # worker PROCESSES — consumed only for io-bound datasets (cv2
+            # decode + undistort per item); cheap in-memory datasets
+            # (synthetic rig, device-render coords) stay on the thread
+            # producer, where process IPC would only add pickling cost.
+            num_workers=(
+                min(cfg.DATALOADER.NUM_WORKERS, 4 * (os.cpu_count() or 1))
+                if getattr(ds, "io_bound", False) else 0
+            ),
             batch_size=batch,
             shuffle=is_train,
             seed=cfg.SEED,

@@ -1,0 +1,146 @@
+"""Process-pool DataLoader (DATALOADER.NUM_WORKERS, reference
+data/build.py:79-84 semantics): batch-stream equivalence with the thread
+producer, worker-crash propagation, early-exit cleanup, ring reuse.
+
+Dataset classes live at module level so 'fork' children resolve them.
+"""
+
+import multiprocessing as mp
+import time
+
+import numpy as np
+import pytest
+
+from epipolar_transformers_tpu.data.pipeline import DataLoader
+
+
+class ArangeDataset:
+    """Deterministic items keyed by index."""
+
+    def __init__(self, n=32, item_shape=(4, 4)):
+        self.n = n
+        self.item_shape = item_shape
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {
+            "x": np.full(self.item_shape, float(i), np.float32),
+            "idx": np.int64(i),
+        }
+
+
+class FailAtDataset(ArangeDataset):
+    def __init__(self, fail_at, exc, **kw):
+        super().__init__(**kw)
+        self.fail_at = fail_at
+        self.exc = exc
+
+    def __getitem__(self, i):
+        if i == self.fail_at:
+            raise self.exc
+        return super().__getitem__(i)
+
+
+class _Unpicklable(Exception):
+    def __init__(self):
+        super().__init__("boom")
+        self.payload = lambda: None  # lambdas don't pickle
+
+
+class SlowDataset(ArangeDataset):
+    def __getitem__(self, i):
+        time.sleep(0.01)
+        return super().__getitem__(i)
+
+
+def _stream(loader, limit=None):
+    out = []
+    for b in loader:
+        out.append({k: np.array(v, copy=True) for k, v in b.items()})
+        if limit is not None and len(out) >= limit:
+            break
+    return out
+
+
+def test_mp_stream_identical_to_thread_producer():
+    """Same dataset/seed/shuffle: the worker-process path must yield the
+    exact same batches in the exact same order (content determinism is
+    index-driven; order is restored by the seq reorder buffer)."""
+    a = DataLoader(ArangeDataset(37), batch_size=4, shuffle=True, seed=3)
+    b = DataLoader(ArangeDataset(37), batch_size=4, shuffle=True, seed=3,
+                   num_workers=2)
+    sa, sb = _stream(a), _stream(b)
+    assert len(sa) == len(sb) == 9
+    for x, y in zip(sa, sb):
+        np.testing.assert_array_equal(x["idx"], y["idx"])
+        np.testing.assert_array_equal(x["x"], y["x"])
+
+
+def test_mp_iteration_mode():
+    n_iter = 11
+    a = DataLoader(ArangeDataset(16), batch_size=4, shuffle=True, seed=0,
+                   num_iterations=n_iter)
+    b = DataLoader(ArangeDataset(16), batch_size=4, shuffle=True, seed=0,
+                   num_iterations=n_iter, num_workers=2)
+    sa, sb = _stream(a), _stream(b)
+    assert len(sa) == len(sb) == n_iter
+    for x, y in zip(sa, sb):
+        np.testing.assert_array_equal(x["idx"], y["idx"])
+
+
+def test_mp_worker_exception_propagates():
+    """A dataset error inside a worker process re-raises the ORIGINAL
+    exception type in the consumer (the _ProducerError contract, now
+    across the process boundary)."""
+    ds = FailAtDataset(fail_at=5, exc=ValueError("bad item 5"), n=16)
+    loader = DataLoader(ds, batch_size=4, num_workers=2)
+    with pytest.raises(ValueError, match="bad item 5"):
+        _stream(loader)
+
+
+def test_mp_unpicklable_exception_degrades_to_runtimeerror():
+    ds = FailAtDataset(fail_at=2, exc=_Unpicklable(), n=8)
+    loader = DataLoader(ds, batch_size=4, num_workers=1)
+    with pytest.raises(RuntimeError, match="worker item failed"):
+        _stream(loader)
+
+
+def test_mp_early_exit_reaps_workers():
+    """Consumer breaking mid-epoch must not leak worker processes."""
+    before = len(mp.active_children())
+    loader = DataLoader(SlowDataset(64), batch_size=4, num_workers=2)
+    got = _stream(loader, limit=2)
+    assert len(got) == 2
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        if len(mp.active_children()) <= before:
+            break
+        time.sleep(0.1)
+    assert len(mp.active_children()) <= before, "leaked loader workers"
+
+
+def test_mp_ring_reuse_same_buffers():
+    """reuse_buffers with workers: collate stays consumer-side, so batch n
+    and batch n + ring_depth alias the same memory."""
+    loader = DataLoader(ArangeDataset(64), batch_size=4, num_workers=2,
+                        reuse_buffers=True, ring_depth=3)
+    seen = []
+    ids = []
+    for batch in loader:
+        ids.append(id(batch["x"]))
+        seen.append(batch["idx"].copy())
+    assert len(set(ids)) == 3  # ring of 3 buffer sets, cycled
+    np.testing.assert_array_equal(np.sort(np.concatenate(seen)), np.arange(64))
+
+
+def test_mp_two_epochs_reshuffle():
+    loader = DataLoader(ArangeDataset(16), batch_size=4, shuffle=True, seed=1,
+                        num_workers=2)
+    e0 = np.concatenate([b["idx"] for b in loader])
+    e1 = np.concatenate([b["idx"] for b in loader])
+    assert loader.epoch == 2
+    assert not np.array_equal(e0, e1)  # epoch feeds the shuffle rng
+    np.testing.assert_array_equal(np.sort(e0), np.arange(16))
+    np.testing.assert_array_equal(np.sort(e1), np.arange(16))
