@@ -155,11 +155,12 @@ def _test_lifting(cfg: Config, state, max_batches: Optional[int] = None) -> Dict
 
     loaders = make_data_loader(cfg, is_train=False)
     meters = MetricLogger()
+    predictions = []
 
     def eval_step(params, batch_stats, inputs):
         variables = {"params": params, "batch_stats": batch_stats}
-        loss_dict, metric_dict, _ = state.apply_fn(variables, inputs, is_train=False)
-        return loss_dict, metric_dict
+        loss_dict, metric_dict, out = state.apply_fn(variables, inputs, is_train=False)
+        return loss_dict, metric_dict, out
 
     eval_step = jax.jit(eval_step)
     for loader in loaders:
@@ -174,8 +175,32 @@ def _test_lifting(cfg: Config, state, max_batches: Optional[int] = None) -> Dict
             inputs = select_model_inputs(cfg, batch)
             if cfg.VIS.MULTIVIEW and "points-3d" in batch:
                 inputs["points-3d"] = batch["points-3d"]
-            loss_dict, metric_dict = eval_step(state.params, state.batch_stats, inputs)
+            loss_dict, metric_dict, out = eval_step(state.params, state.batch_stats, inputs)
             meters.update(**{k: float(v) for k, v in {**loss_dict, **metric_dict}.items()})
+
+            # VIS.SAVE_PRED for lifting tasks: per-sample (inputs, outputs)
+            # pairs, the reference format (tester.py:178-186) that the hand
+            # comparison panels consume (visualization.py:545-643).
+            if cfg.VIS.SAVE_PRED and ib % cfg.VIS.SAVE_PRED_FREQ == 0:
+                bsz = int(np.asarray(batch["visibility"]).shape[0])
+                for i in range(bsz):
+                    if (cfg.VIS.SAVE_PRED_LIMIT >= 0
+                            and len(predictions) >= cfg.VIS.SAVE_PRED_LIMIT):
+                        break
+                    predictions.append((
+                        {k: np.asarray(v[i]) for k, v in batch.items()
+                         if hasattr(v, "shape") and np.ndim(v) > 0},
+                        {k: np.asarray(v[i]) for k, v in out.items()},
+                    ))
+
+    if cfg.VIS.SAVE_PRED and predictions and cfg.OUTPUT_DIR:
+        os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+        name = cfg.VIS.SAVE_PRED_NAME.replace(".pth", ".pkl").replace(".npz", ".pkl")
+        path = os.path.join(cfg.OUTPUT_DIR, name)
+        with open(path, "wb") as f:
+            pickle.dump(predictions, f)
+        logger.info("saved %d lifting predictions to %s", len(predictions), path)
+
     results = meters.get_all_avg()
     logger.info("eval: %s", results)
     return results

@@ -208,6 +208,58 @@ def dump_epipolar_debug_pair(cfg, ret: Dict[str, np.ndarray], idx: int) -> Optio
     return path
 
 
+def hand_comparison_panels(predictions_path: str, out_dir: str,
+                           limit: int = -1) -> int:
+    """Per-sample 3D hand pred-vs-GT comparison panels — the reference's
+    DEFAULT visualization mode (visualization.py:545-643): from saved
+    lifting predictions [(inputs, outputs), ...], render a 2x3 grid of 3D
+    panels per sample — canonical GT / canonical pred / overlay on the top
+    row, view-normed GT / pred / overlay on the bottom — each at the
+    reference's camera-aligned view (azim=-90, elev=-90).  Headless: writes
+    PNGs instead of plt.show().  Returns #panels written.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .skeletons import plot_hand_3d
+
+    with open(predictions_path, "rb") as f:
+        preds = pickle.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(preds) if limit < 0 else min(limit, len(preds))
+    written = 0
+    for i in range(n):
+        inputs, pred = preds[i]
+        vis = np.asarray(inputs["visibility"]).reshape(-1)[:, None]
+        can_gt = np.asarray(inputs["can-points-3d"]) * vis
+        can_pred = np.asarray(pred["can_pred"]) * vis
+        panels = [("canonical GT", [can_gt]), ("canonical pred", [can_pred]),
+                  ("canonical overlay", [can_gt, can_pred])]
+        if "normed_pred" in pred and "normed-points-3d" in inputs:
+            normed_gt = np.asarray(inputs["normed-points-3d"]) * vis
+            normed_pred = np.asarray(pred["normed_pred"]) * vis
+            panels += [("normed GT", [normed_gt]), ("normed pred", [normed_pred]),
+                       ("normed overlay", [normed_gt, normed_pred])]
+        rows = -(-len(panels) // 3)
+        fig = plt.figure(figsize=(9, 3 * rows))
+        occ = vis[:, 0] > 0
+        for p, (title, hands) in enumerate(panels):
+            ax = fig.add_subplot(rows, 3, p + 1, projection="3d")
+            for h, coords in enumerate(hands):
+                # overlay: GT in fixed gray, prediction in per-finger colors
+                plot_hand_3d(coords, ax, occlusion=occ,
+                             color_fixed="0.6" if (len(hands) > 1 and h == 0) else None)
+            ax.view_init(azim=-90.0, elev=-90.0)  # camera-aligned, reference :617
+            ax.set_title(title, fontsize=8)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, f"hand_panel_{i:05d}.png"), dpi=80)
+        plt.close(fig)
+        written += 1
+    return written
+
+
 def visualization(cfg):
     """CLI visualization dispatch (reference main.py:65-72 ->
     vision/visualization.py:319-643), keyed by the VIS.* flags:
@@ -216,11 +268,22 @@ def visualization(cfg):
       EPIPOLAR_LINE / CURSOR — live epipolar introspection dump on a batch
       AUC         — accumulated PCK counts -> AUC curve file
       VIDEO       — stitch the tester's frame dumps into an mp4 grid
+      (default, lifting tasks) — 3D hand pred-vs-GT comparison panels from
+      the saved predictions, the reference's flagless default mode
+      (visualization.py:545-643)
 
     Returns a dict describing what was produced (empty if no flag set).
     """
     produced = {}
     out_dir = cfg.OUTPUT_DIR or "."
+
+    if cfg.LIFTING.ENABLED:
+        pred_path = os.path.join(
+            out_dir, cfg.VIS.SAVE_PRED_NAME.replace(".pth", ".pkl").replace(".npz", ".pkl"))
+        if os.path.isfile(pred_path):
+            produced["hand_panels"] = hand_comparison_panels(
+                pred_path, os.path.join(out_dir, "hand_panels"),
+                cfg.VIS.SAVE_PRED_LIMIT)
 
     if cfg.VIS.POINTCLOUD:
         pred_path = os.path.join(

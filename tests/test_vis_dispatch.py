@@ -114,3 +114,97 @@ def test_trainer_benchmark_mode_skips_model(tmp_path):
         "SOLVER": {"IMS_PER_BATCH": 2, "MAX_EPOCHS": 1},
     })
     assert train(cfg, max_steps=3) is None
+
+
+def test_hand_comparison_panels(tmp_path, rng):
+    """The reference's DEFAULT vis mode (visualization.py:545-643): saved
+    lifting predictions -> per-sample 3D hand pred-vs-GT panel PNGs,
+    dispatched flaglessly for lifting tasks."""
+    pytest.importorskip("matplotlib")
+    from epipolar_transformers_tpu.vis.visualization import hand_comparison_panels
+
+    d = {
+        "DATASETS": {"TASK": "keypoint_lifting_rot"},
+        "LIFTING": {"ENABLED": True},
+        "KEYPOINT": {"NUM_PTS": 21},
+        "OUTPUT_DIR": str(tmp_path / "out"),
+    }
+    cfg = update_from_dict(Config(), d)
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    preds = []
+    for _ in range(2):
+        inputs = {
+            "visibility": np.ones(21, np.float32),
+            "can-points-3d": rng.randn(21, 3).astype(np.float32),
+            "normed-points-3d": rng.randn(21, 3).astype(np.float32),
+        }
+        out = {
+            "can_pred": rng.randn(21, 3).astype(np.float32),
+            "normed_pred": rng.randn(21, 3).astype(np.float32),
+        }
+        preds.append((inputs, out))
+    pred_path = os.path.join(cfg.OUTPUT_DIR, "predictions.pkl")
+    with open(pred_path, "wb") as f:
+        pickle.dump(preds, f)
+
+    n = hand_comparison_panels(pred_path, str(tmp_path / "panels"))
+    assert n == 2
+    assert os.path.exists(tmp_path / "panels" / "hand_panel_00000.png")
+
+    # flagless dispatch for lifting tasks (the reference's default mode)
+    produced = visualization(cfg)
+    assert produced["hand_panels"] == 2
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "hand_panels",
+                                       "hand_panel_00001.png"))
+
+
+def test_lifting_save_pred(tmp_path):
+    """_test_lifting honors VIS.SAVE_PRED with the reference's per-sample
+    (inputs, outputs) pair format (tester.py:178-186)."""
+    import jax
+
+    from epipolar_transformers_tpu.config.catalog import DatasetCatalog
+    from epipolar_transformers_tpu.data.pipeline import collate
+    from epipolar_transformers_tpu.engine import create_train_state
+    from epipolar_transformers_tpu.engine.tester import test as run_test
+    from epipolar_transformers_tpu.engine.trainer import select_model_inputs
+    from tests.test_datasets import _make_rhd_fixture
+
+    root = _make_rhd_fixture(tmp_path / "rhd_fixture", n=3)
+    data_dir = str(tmp_path / "datasets")
+    os.makedirs(os.path.join(data_dir, "RHD_published_v2"), exist_ok=True)
+    dst = os.path.join(data_dir, "RHD_published_v2", "evaluation")
+    os.makedirs(dst, exist_ok=True)
+    for kind in ("color", "mask"):
+        os.symlink(os.path.join(root, "training", kind), os.path.join(dst, kind))
+    os.link(os.path.join(root, "training", "anno_training.pickle"),
+            os.path.join(dst, "anno_evaluation.pickle"))
+
+    d = {
+        "LIFTING": {"ENABLED": True, "CROP_SIZE": 128, "IMAGE_SIZE": 320},
+        "KEYPOINT": {"NUM_PTS": 21, "HEATMAP_SIZE": (32, 32), "SIGMA": 4.0},
+        "DATASETS": {"TASK": "lifting_direct", "TEST": ("rhd_val",)},
+        "TEST": {"IMS_PER_BATCH": 3},
+        "SOLVER": {"OPTIMIZER": "adam", "BASE_LR": 1e-3, "IMS_PER_BATCH": 3},
+        "VIS": {"SAVE_PRED": True, "SAVE_PRED_FREQ": 1, "SAVE_PRED_LIMIT": 2},
+        "OUTPUT_DIR": str(tmp_path / "out"),
+    }
+    cfg = update_from_dict(Config(), d)
+
+    import unittest.mock as mock
+    with mock.patch.object(DatasetCatalog, "DATA_DIR", data_dir):
+        from epipolar_transformers_tpu.data.datasets.rhd import RHDDataset
+        ds = RHDDataset(cfg, os.path.join(data_dir, "RHD_published_v2"),
+                        "evaluation", is_train=False)
+        inputs = select_model_inputs(cfg, collate([ds[i] for i in range(3)]))
+        state = create_train_state(cfg, jax.random.PRNGKey(0), inputs)
+        run_test(cfg, state, max_batches=1)
+
+    pred_path = os.path.join(cfg.OUTPUT_DIR, "predictions.pkl")
+    assert os.path.exists(pred_path)
+    with open(pred_path, "rb") as f:
+        saved = pickle.load(f)
+    assert len(saved) == 2  # SAVE_PRED_LIMIT
+    ins, outs = saved[0]
+    assert "can-points-3d" in ins and "can_pred" in outs
+    assert outs["can_pred"].shape == (21, 3)
