@@ -12,9 +12,13 @@ Differences from the reference by design (TPU-native):
   * NHWC layout, no Python batch loop;
   * config passed explicitly (frozen dataclass) instead of the yacs global;
   * detach() -> jax.lax.stop_gradient, controlled by EPIPOLAR.OTHER_GRAD;
-  * the per-camera-pair prior is one dense (n_cams, n_cams, K, H, W) param
-    table indexed by camera ids instead of a python dict of nn.Parameters
-    (epipolar.py:73-80).
+  * the per-camera-pair prior is one (n_pairs, K, H, W) param table over the
+    ordered non-self pairs of DATASETS.CAMERAS — exactly the pairs the
+    reference materializes as a python dict of nn.Parameters
+    (epipolar.py:73-80) — indexed through a static (id, id) -> slot lookup.
+    Memory is n*(n-1)*K*H*W, not the dense n^2 table a naive embedding
+    would allocate (a 10-camera rig saves the 10 dead self-pair slots and,
+    more importantly, matches the reference's parameter count exactly).
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..config import Config
@@ -125,13 +130,29 @@ class Epipolar(nn.Module):
         if "g" in e.PARAMETERIZED:
             self.g = nn.Conv(bottleneck, (1, 1), use_bias=True, dtype=compute_dtype(c), name="g")
         if e.PRIOR:
-            n_cams = max(len(c.DATASETS.CAMERAS), 1)
+            cams = tuple(c.DATASETS.CAMERAS)
+            if not cams:
+                # the reference builds prior params by iterating
+                # DATASETS.CAMERAS (epipolar.py:74-80); with it empty the
+                # forward would KeyError there — fail at construction instead
+                raise ValueError(
+                    "EPIPOLAR.PRIOR requires DATASETS.CAMERAS to list the "
+                    "camera ids (reference epipolar.py:74-80)"
+                )
+            # one param slot per ordered non-self pair (i, j), i != j —
+            # the exact set the reference materializes; self-pairs are never
+            # sampled so a dense n^2 table would waste n slots
+            pairs = [(i, j) for i in cams for j in cams if i != j]
+            lookup = np.zeros((max(cams) + 1, max(cams) + 1), dtype=np.int32)
+            for slot, (i, j) in enumerate(pairs):
+                lookup[i, j] = slot
+            self.prior_pair_lookup = lookup
             h, w = c.KEYPOINT.HEATMAP_SIZE
             k = e.SAMPLESIZE // (2 if e.POOLING else 1)
             self.prior_table = self.param(
                 "prior",
                 lambda key, shape: jax.random.uniform(key, shape, maxval=0.1),
-                (n_cams, n_cams, k, h, w),
+                (max(len(pairs), 1), k, h, w),
             )
 
     def __call__(
@@ -193,7 +214,9 @@ class Epipolar(nn.Module):
         params = self.attention_params
         prior = None
         if e.PRIOR or e.SIMILARITY == "prior":
-            prior = self.prior_table[camera, other_camera]  # (N, K', H, W)
+            # static (id, id) -> pair-slot lookup, then gather the slots
+            slot = jnp.asarray(self.prior_pair_lookup)[camera, other_camera]
+            prior = self.prior_table[slot]  # (N, K', H, W)
 
         # a FORCED impl that can't express this config must fail loudly,
         # not silently fall through to the oracle

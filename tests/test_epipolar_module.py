@@ -95,11 +95,48 @@ def test_prior_attention(camera_ring):
     variables = model.init(
         jax.random.PRNGKey(2), feat1, feat2, P1, P2, camera=cam, other_camera=other, train=False
     )
-    assert variables["params"]["prior"].shape == (4, 4, 8, 16, 16)
+    # one slot per ordered non-self pair (reference epipolar.py:74-80):
+    # 4 cameras -> 12 pairs, not a dense 4x4 table
+    assert variables["params"]["prior"].shape == (12, 8, 16, 16)
     out, *_ = model.apply(
         variables, feat1, feat2, P1, P2, camera=cam, other_camera=other, train=False
     )
     assert out.shape == feat1.shape
+
+
+def test_prior_table_pair_sparse_and_distinct(camera_ring):
+    """10-camera rig: 90 pair slots (n*(n-1)), matching the reference's
+    parameter count; distinct (cam, other) pairs read distinct slots and
+    swapped pairs differ (the prior is direction-sensitive)."""
+    cfg = _cfg(PRIOR=True, SIMILARITY="prior", PARAMETERIZED=())
+    cfg = update_from_dict(cfg, {"DATASETS": {"CAMERAS": tuple(range(10))}})
+    model = Epipolar(cfg)
+    feat1, feat2, P1, P2 = _inputs(camera_ring)
+    cam = jnp.asarray([3, 7])
+    other = jnp.asarray([7, 3])
+    variables = model.init(
+        jax.random.PRNGKey(3), feat1, feat2, P1, P2,
+        camera=cam, other_camera=other, train=False,
+    )
+    assert variables["params"]["prior"].shape == (90, 8, 16, 16)
+    # the (3,7) and (7,3) slots are independent parameters
+    table = np.asarray(variables["params"]["prior"])
+    pairs = [(i, j) for i in range(10) for j in range(10) if i != j]
+    s37, s73 = pairs.index((3, 7)), pairs.index((7, 3))
+    assert s37 != s73
+    assert not np.allclose(table[s37], table[s73])
+
+
+def test_prior_requires_cameras(camera_ring):
+    cfg = _cfg(PRIOR=True, SIMILARITY="prior", PARAMETERIZED=())
+    model = Epipolar(cfg)
+    feat1, feat2, P1, P2 = _inputs(camera_ring)
+    with pytest.raises(ValueError, match="DATASETS.CAMERAS"):
+        model.init(
+            jax.random.PRNGKey(0), feat1, feat2, P1, P2,
+            camera=jnp.asarray([0, 1]), other_camera=jnp.asarray([1, 0]),
+            train=False,
+        )
 
 
 def test_stop_gradient_on_other_view(camera_ring):
