@@ -297,19 +297,28 @@ class DataLoader:
             buffer = {}
             next_seq = 0
             while not (state["exhausted"] and next_seq >= state["dispatched"]):
+                idle_timeouts = 0
                 while next_seq not in buffer:
                     try:
                         seq, items, err = result_q.get(timeout=5.0)
                     except queue.Empty:
+                        # A worker killed by the OS (OOM/signal) never ships
+                        # its (seq, ...) result, so next_seq may never
+                        # arrive — even while OTHER results sit in `buffer`.
+                        # Two consecutive empty timeouts with a dead worker
+                        # means stalled, not slow (a healthy slow pipeline
+                        # keeps delivering other seqs, resetting the count).
+                        idle_timeouts += 1
                         dead = [p for p in workers if not p.is_alive()
                                 and p.exitcode not in (0, None)]
-                        if dead and not buffer:
+                        if dead and idle_timeouts >= 2:
                             raise RuntimeError(
                                 f"DataLoader worker {dead[0].name} (pid "
                                 f"{dead[0].pid}) died with exitcode "
                                 f"{dead[0].exitcode} (OOM / signal?)"
                             )
                         continue
+                    idle_timeouts = 0
                     buffer[seq] = (items, err)
                 items, err = buffer.pop(next_seq)
                 if err is not None:

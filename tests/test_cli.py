@@ -1,11 +1,13 @@
 """CLI entry point (main.py): full dispatch with config overrides, plus the
 --trace profiler capture (reference main.py:21-75 UX)."""
 
+import pytest
 import os
 
 import main as cli
 
 
+@pytest.mark.slow
 def test_cli_train_eval_with_trace(tmp_path):
     out_dir = tmp_path / "out"
     trace_dir = tmp_path / "trace"

@@ -7,6 +7,7 @@ device evaluates — and the trainer must train end-to-end from param-only
 batches on the sharded mesh.
 """
 
+import pytest
 import numpy as np
 
 from epipolar_transformers_tpu.config import Config, update_from_dict
@@ -103,6 +104,7 @@ def test_materialize_model_inputs_both_modes():
     assert out["img"].shape == (2, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_train_steps_from_param_batches():
     """train() runs end-to-end from device-render batches on the sharded
     mesh (the full epipolar multiview model, 3 steps, finite loss)."""

@@ -72,6 +72,7 @@ def test_gt_heatmaps_triangulate_to_gt_3d():
     assert err.mean() < 10.0, err  # image-coord decode is ~1px at stride 4
 
 
+@pytest.mark.slow
 def test_single_view_training_reduces_loss():
     cfg = _base_cfg(task="keypoint")
     loader = make_data_loader(cfg, is_train=True)
@@ -90,6 +91,7 @@ def test_single_view_training_reduces_loss():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.5, losses
 
 
+@pytest.mark.slow
 def test_multiview_epipolar_train_step_on_mesh():
     """The flagship zresidual config shape: shared-weight epipolar PoseResNet,
     one train step sharded over the virtual 8-device CPU mesh."""

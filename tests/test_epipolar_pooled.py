@@ -114,6 +114,7 @@ def test_pooled_all_out_of_range(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_param_config_trains_through_builder():
     """The keypoint_h36m_param semantics (PARAMETERIZED z/theta/phi/g +
     POOLING + BOTTLENECK 2, reference configs/epipolar/

@@ -53,6 +53,7 @@ def _inputs(rng, n=2):
     }
 
 
+@pytest.mark.slow
 def test_fused_trunks_match_two_pass(rng, monkeypatch):
     cfg = _cfg()
     model = ModelBuilder(cfg)

@@ -45,6 +45,7 @@ def test_infer_prefers_limb_consistent_bins():
     assert [b for _, b in pose] == [3] * 17
 
 
+@pytest.mark.slow
 def test_rpsm_recovers_gt_pose():
     cfg = _cfg()
     ds = SyntheticMultiview(cfg, is_train=False, n_samples=2)

@@ -166,6 +166,7 @@ def _mv_lifting_cfg():
     )
 
 
+@pytest.mark.slow
 def test_multiview_img_lifting_rot_fused_forward(camera_ring, rng):
     """The lifting task runs the epipolar fusion (reference model.py:416-419
     intent — the reference's own branch is bit-rotted, see ModelBuilder):

@@ -1,5 +1,6 @@
 """Reprojection-consistency branch + DepthOracle + MULTITEST eval path."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,7 @@ def test_reproject_shapes_and_loss(camera_ring, rng):
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_reproject_loss_in_training_step(camera_ring):
     """REPROJECT_LOSS_WEIGHT wires an extra finite loss into the train step."""
     from epipolar_transformers_tpu.data.pipeline import make_data_loader

@@ -155,6 +155,7 @@ def _assert_grads_close(g1, g2, per_leaf, global_rel, what="grad"):
     assert gerr < global_rel, f"{what} global L2-rel {gerr:.3e}"
 
 
+@pytest.mark.slow
 def test_loss_grads_bn_stats_match_1dev_vs_8dev(setup):
     cfg, inputs, state, mesh1, mesh8 = setup
     loss1, grads1, stats1 = _run_on_mesh(state, inputs, mesh1)
@@ -166,6 +167,7 @@ def test_loss_grads_bn_stats_match_1dev_vs_8dev(setup):
     _assert_trees_close(stats1, stats8, rtol=1e-4, atol_scale=1e-4, what="batch_stats")
 
 
+@pytest.mark.slow
 def test_bn_moments_are_global_not_per_shard(setup):
     """Adversarial input: the two batch halves have wildly different
     statistics.  Per-shard moments would track each half; the updated
@@ -181,6 +183,7 @@ def test_bn_moments_are_global_not_per_shard(setup):
     _assert_trees_close(stats1, stats8, rtol=1e-4, atol_scale=1e-4, what="batch_stats")
 
 
+@pytest.mark.slow
 def test_loss_trajectory_sharded_vs_unsharded(setup):
     """50 real train steps (jit fwd+bwd+adam+BN update) on the same data:
     the sharded and unsharded loss trajectories must coincide."""

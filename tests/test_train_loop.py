@@ -30,6 +30,7 @@ def _cfg(tmp_path):
     return update_from_dict(Config(), d)
 
 
+@pytest.mark.slow
 def test_train_checkpoints_and_resumes(tmp_path):
     cfg = _cfg(tmp_path)
     state = train(cfg, max_steps=3)
