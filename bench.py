@@ -124,6 +124,34 @@ def _chained_bench(step, first_args, iters: int, blocks: int) -> float:
     return best
 
 
+def make_chained_step(model, variables):
+    """The chained benchmark step: fused multiview forward whose output is
+    folded (denormal-scaled, numerically a no-op) into the next input, so a
+    single final fetch forces every iteration (see module docstring).
+
+    ONE definition shared by bench.py and the sweep probes
+    (scripts/bench_batch_sweep.py) — the r03 incident was a methodology
+    bug, and two hand-synced copies of the methodology would reintroduce
+    exactly that risk."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(img, other_img, KRT, other_KRT):
+        feed = {"img": img, "other_img": other_img,
+                "KRT": KRT, "other_KRT": other_KRT}
+        _, _, out = model.apply(variables, feed, is_train=False)
+        locs, scores = out["batch_locs"], out["score_pred"]
+        # Chain: numerically a no-op on the image (scores are O(1); 1e-30
+        # underflows the bf16/f32 add) but XLA cannot remove the
+        # dependency, so iteration i+1 cannot start — and the final fetch
+        # cannot complete — until iteration i actually computed.
+        feedback = (jnp.mean(scores) + jnp.mean(locs)) * jnp.asarray(1e-30, img.dtype)
+        return img + feedback, jnp.sum(scores)
+
+    return step
+
+
 def _require_device(timeout_s: float = 120.0):
     """Fail fast (structured) when the TPU tunnel is unreachable.
 
@@ -156,7 +184,6 @@ def main():
     _require_device()
 
     import jax
-    import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch, _flagship_cfg
     from epipolar_transformers_tpu.models import ModelBuilder
@@ -171,22 +198,7 @@ def main():
         lambda rng: model.init(rng, inputs, is_train=False)
     )(jax.random.PRNGKey(0))
 
-    def forward(img, other_img, KRT, other_KRT):
-        feed = {"img": img, "other_img": other_img, "KRT": KRT, "other_KRT": other_KRT}
-        _, _, out = model.apply(variables, feed, is_train=False)
-        return out["batch_locs"], out["score_pred"], out["heatmap_pred"]
-
-    @jax.jit
-    def step(img, other_img, KRT, other_KRT):
-        locs, scores, heatmap = forward(img, other_img, KRT, other_KRT)
-        # Chain: fold a denormal-scaled reduction of this iteration's decoded
-        # outputs into the next input.  Numerically a no-op on the image
-        # (scores are O(1); 1e-30 underflows the bf16/f32 add) but XLA cannot
-        # remove the dependency, so iteration i+1 cannot start — and the
-        # final fetch cannot complete — until iteration i actually computed.
-        feedback = (jnp.mean(scores) + jnp.mean(locs)) * jnp.asarray(1e-30, img.dtype)
-        checksum = jnp.sum(scores)
-        return img + feedback, checksum
+    step = make_chained_step(model, variables)
 
     args = jax.device_put(
         (inputs["img"], inputs["other_img"], inputs["KRT"], inputs["other_KRT"])

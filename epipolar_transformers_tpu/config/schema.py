@@ -193,6 +193,13 @@ class DataloaderConfig(_Node):
     NUM_WORKERS: int = 20
     PIN_MEMORY: bool = True
     BENCHMARK: bool = False
+    # Worker start method (no reference analog; torch hardcodes fork on
+    # Linux).  'fork' inherits the dataset for free but forks a
+    # multi-threaded JAX parent — safe in practice (torch does the same)
+    # yet a lock held mid-operation by another parent thread CAN deadlock a
+    # child; 'forkserver'/'spawn' start clean children at the cost of
+    # pickling the dataset (all shipped datasets are picklable).
+    MP_START_METHOD: str = "fork"
     # TPU-native extension (no reference analog): synthetic-rig train items
     # carry only joint coords + cameras and the trainer splats img/heatmap
     # on-device (ops/synthetic_render.py) — shrinks the per-step host->

@@ -47,10 +47,11 @@ def undistort_points(pts: np.ndarray, K: np.ndarray, dist: np.ndarray) -> np.nda
 
 
 class JointsDataset:
+    """Base class; subclasses fill self.db with H36M-style records."""
+
     # real-image pipeline (cv2 decode + undistort per item): eligible for
     # DATALOADER.NUM_WORKERS process workers (data/pipeline.py)
     io_bound = True
-    """Base class; subclasses fill self.db with H36M-style records."""
 
     actual_joints: dict = {}
 

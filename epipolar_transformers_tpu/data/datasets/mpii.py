@@ -99,6 +99,10 @@ class MixedDataset:
     def __init__(self, h36m, mpii_multiview):
         self.h36m = h36m
         self.mpii = mpii_multiview
+        # propagate worker-process eligibility (see pipeline.ConcatDataset)
+        self.io_bound = any(
+            getattr(d, "io_bound", False) for d in (h36m, mpii_multiview)
+        )
 
     def __len__(self):
         return len(self.h36m) + len(self.mpii)

@@ -107,6 +107,10 @@ class ConcatDataset:
         assert datasets, "ConcatDataset needs at least one dataset"
         self.datasets = list(datasets)
         self.cum = np.cumsum([len(d) for d in self.datasets])
+        # worker-process eligibility must survive wrapping: a concat of
+        # io-bound datasets is io-bound (else DATALOADER.NUM_WORKERS would
+        # silently no-op on exactly the heavy multi-dataset train configs)
+        self.io_bound = any(getattr(d, "io_bound", False) for d in self.datasets)
 
     def __len__(self):
         return int(self.cum[-1])
@@ -138,6 +142,7 @@ class DataLoader:
         reuse_buffers: bool = False,
         ring_depth: Optional[int] = None,
         num_workers: int = 0,
+        mp_start_method: str = "fork",
     ):
         global _allocator_tuned
         if not _allocator_tuned:
@@ -174,6 +179,11 @@ class DataLoader:
         # + 1000^2 undistort per item); processes are the only way to scale
         # that on a many-core host.
         self.num_workers = num_workers
+        # 'fork' (default, torch semantics: dataset inherited for free) or
+        # 'forkserver'/'spawn' (clean single-threaded children — immune to
+        # fork-inherited lock deadlocks from a multi-threaded JAX parent;
+        # requires a picklable dataset).  See config.schema DATALOADER.
+        self.mp_start_method = mp_start_method
         self.epoch = 0
 
     def __len__(self):
@@ -260,10 +270,11 @@ class DataLoader:
         Any idle worker takes the next (seq, idx) task off one shared queue;
         the consumer reorders results by seq, so the yielded batch stream is
         IDENTICAL to the single-producer path (same indices, same order) —
-        only the item computation is parallel.  'fork' start method: workers
-        inherit the dataset without pickling and never touch the device.
+        only the item computation is parallel.  Start method per
+        self.mp_start_method (default 'fork': workers inherit the dataset
+        without pickling and never touch the device).
         """
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context(self.mp_start_method)
         task_q = ctx.Queue()
         result_q = ctx.Queue()
         workers = [
@@ -278,6 +289,7 @@ class DataLoader:
 
         batch_iter = enumerate(self._batch_indices())
         state = {"dispatched": 0, "exhausted": False}
+        outstanding = {}  # seq -> idx array: dispatched, not yet received
 
         def dispatch_one() -> None:
             if state["exhausted"]:
@@ -287,7 +299,9 @@ class DataLoader:
             except StopIteration:
                 state["exhausted"] = True
                 return
-            task_q.put((seq, np.asarray(idx)))
+            idx = np.asarray(idx)
+            outstanding[seq] = idx
+            task_q.put((seq, idx))
             state["dispatched"] += 1
 
         try:
@@ -296,30 +310,49 @@ class DataLoader:
                 dispatch_one()
             buffer = {}
             next_seq = 0
+            redispatched: set = set()
+            known_dead: set = set()
             while not (state["exhausted"] and next_seq >= state["dispatched"]):
-                idle_timeouts = 0
                 while next_seq not in buffer:
                     try:
                         seq, items, err = result_q.get(timeout=5.0)
                     except queue.Empty:
                         # A worker killed by the OS (OOM/signal) never ships
-                        # its (seq, ...) result, so next_seq may never
-                        # arrive — even while OTHER results sit in `buffer`.
-                        # Two consecutive empty timeouts with a dead worker
-                        # means stalled, not slow (a healthy slow pipeline
-                        # keeps delivering other seqs, resetting the count).
-                        idle_timeouts += 1
+                        # its (seq, ...) result — that seq would otherwise
+                        # never arrive.  On observing a NEW death, re-dispatch
+                        # every outstanding task ONCE to the surviving
+                        # workers (duplicates are harmless: the reorder
+                        # buffer is keyed by seq).  A task whose re-dispatch
+                        # also dies is poison — raise.  Healthy-but-slow
+                        # pipelines (no deaths) never trip this.
                         dead = [p for p in workers if not p.is_alive()
                                 and p.exitcode not in (0, None)]
-                        if dead and idle_timeouts >= 2:
+                        if dead and not any(p.is_alive() for p in workers):
                             raise RuntimeError(
-                                f"DataLoader worker {dead[0].name} (pid "
-                                f"{dead[0].pid}) died with exitcode "
-                                f"{dead[0].exitcode} (OOM / signal?)"
+                                f"all {len(workers)} DataLoader workers died "
+                                f"(first: {dead[0].name} pid {dead[0].pid} "
+                                f"exitcode {dead[0].exitcode}; OOM / signal?)"
                             )
+                        new_dead = [p for p in dead if p.pid not in known_dead]
+                        if new_dead:
+                            known_dead.update(p.pid for p in new_dead)
+                            retry = [s for s in outstanding
+                                     if s not in redispatched]
+                            if not retry and outstanding:
+                                raise RuntimeError(
+                                    f"DataLoader worker {new_dead[0].name} "
+                                    f"(pid {new_dead[0].pid}) died with "
+                                    f"exitcode {new_dead[0].exitcode} on a "
+                                    f"re-dispatched task (batch seq "
+                                    f"{min(outstanding)}): poison item?"
+                                )
+                            for s in retry:
+                                redispatched.add(s)
+                                task_q.put((s, outstanding[s]))
                         continue
-                    idle_timeouts = 0
-                    buffer[seq] = (items, err)
+                    if seq >= next_seq and seq not in buffer:
+                        buffer[seq] = (items, err)
+                    outstanding.pop(seq, None)
                 items, err = buffer.pop(next_seq)
                 if err is not None:
                     raise pickle.loads(err)
@@ -451,6 +484,7 @@ def make_data_loader(cfg, is_train: bool, shard_id: int = 0, num_shards: int = 1
                 min(cfg.DATALOADER.NUM_WORKERS, 4 * (os.cpu_count() or 1))
                 if getattr(ds, "io_bound", False) else 0
             ),
+            mp_start_method=cfg.DATALOADER.MP_START_METHOD,
             batch_size=batch,
             shuffle=is_train,
             seed=cfg.SEED,

@@ -30,6 +30,7 @@ from ..geometry.host import (
     triangulate_ransac_np,
 )
 from ..metrics.metrics2d import calc_pck, calculate_err, jdr
+from ..utils.file_utils import pred_pickle_path
 from ..utils.metric_logger import MetricLogger
 
 logger = logging.getLogger(__name__)
@@ -182,21 +183,25 @@ def _test_lifting(cfg: Config, state, max_batches: Optional[int] = None) -> Dict
             # pairs, the reference format (tester.py:178-186) that the hand
             # comparison panels consume (visualization.py:545-643).
             if cfg.VIS.SAVE_PRED and ib % cfg.VIS.SAVE_PRED_FREQ == 0:
-                bsz = int(np.asarray(batch["visibility"]).shape[0])
+                # one device->host fetch per KEY (not per key x sample — a
+                # per-sample np.asarray(v[i]) would cost a multi-ms tunnel
+                # round trip for every slice), then slice on host
+                host_batch = {k: np.asarray(v) for k, v in batch.items()
+                              if hasattr(v, "shape") and np.ndim(v) > 0}
+                host_out = {k: np.asarray(v) for k, v in out.items()}
+                bsz = host_batch["visibility"].shape[0]
                 for i in range(bsz):
                     if (cfg.VIS.SAVE_PRED_LIMIT >= 0
                             and len(predictions) >= cfg.VIS.SAVE_PRED_LIMIT):
                         break
                     predictions.append((
-                        {k: np.asarray(v[i]) for k, v in batch.items()
-                         if hasattr(v, "shape") and np.ndim(v) > 0},
-                        {k: np.asarray(v[i]) for k, v in out.items()},
+                        {k: v[i] for k, v in host_batch.items()},
+                        {k: v[i] for k, v in host_out.items()},
                     ))
 
     if cfg.VIS.SAVE_PRED and predictions and cfg.OUTPUT_DIR:
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
-        name = cfg.VIS.SAVE_PRED_NAME.replace(".pth", ".pkl").replace(".npz", ".pkl")
-        path = os.path.join(cfg.OUTPUT_DIR, name)
+        path = pred_pickle_path(cfg, cfg.OUTPUT_DIR)
         with open(path, "wb") as f:
             pickle.dump(predictions, f)
         logger.info("saved %d lifting predictions to %s", len(predictions), path)
@@ -317,8 +322,7 @@ def test(cfg: Config, state, max_batches: Optional[int] = None) -> Dict[str, flo
 
     if cfg.VIS.SAVE_PRED and predictions and cfg.OUTPUT_DIR:
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
-        name = cfg.VIS.SAVE_PRED_NAME.replace(".pth", ".pkl").replace(".npz", ".pkl")
-        path = os.path.join(cfg.OUTPUT_DIR, name)
+        path = pred_pickle_path(cfg, cfg.OUTPUT_DIR)
         with open(path, "wb") as f:
             pickle.dump(predictions, f)
         if err_joints_acc:

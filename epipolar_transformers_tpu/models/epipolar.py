@@ -143,7 +143,14 @@ class Epipolar(nn.Module):
             # the exact set the reference materializes; self-pairs are never
             # sampled so a dense n^2 table would waste n slots
             pairs = [(i, j) for i in cams for j in cams if i != j]
-            lookup = np.zeros((max(cams) + 1, max(cams) + 1), dtype=np.int32)
+            # -1 marks pairs with no parameters (self-pairs, unlisted ids);
+            # at call time those read a NEUTRAL ZERO prior instead of
+            # silently training against some other pair's slot (the
+            # reference's dict would KeyError — a data-dependent traced
+            # index can't raise under jit, so neutrality is the loud-as-
+            # possible option: zero prior = no additive bias, and
+            # all-zero weights under SIMILARITY='prior')
+            lookup = np.full((max(cams) + 1, max(cams) + 1), -1, dtype=np.int32)
             for slot, (i, j) in enumerate(pairs):
                 lookup[i, j] = slot
             self.prior_pair_lookup = lookup
@@ -214,9 +221,16 @@ class Epipolar(nn.Module):
         params = self.attention_params
         prior = None
         if e.PRIOR or e.SIMILARITY == "prior":
-            # static (id, id) -> pair-slot lookup, then gather the slots
-            slot = jnp.asarray(self.prior_pair_lookup)[camera, other_camera]
-            prior = self.prior_table[slot]  # (N, K', H, W)
+            # static (id, id) -> pair-slot lookup, then gather the slots;
+            # ids outside the lookup clamp into it (jax gather semantics)
+            # and unparameterized pairs (slot -1) read a neutral zero prior
+            lookup = jnp.asarray(self.prior_pair_lookup)
+            slot = lookup[camera, other_camera]
+            prior = jnp.where(
+                (slot >= 0)[:, None, None, None],
+                self.prior_table[jnp.maximum(slot, 0)],
+                0.0,
+            )  # (N, K', H, W)
 
         # a FORCED impl that can't express this config must fail loudly,
         # not silently fall through to the oracle

@@ -41,3 +41,18 @@ def save_krt(path: str, cameras: Dict[str, dict]):
             for row in np.asarray(cam["RT"]):
                 f.write(" ".join(f"{v:.10g}" for v in row) + "\n")
             f.write("\n")
+
+
+def pred_pickle_path(cfg, out_dir: str | None = None) -> str:
+    """Canonical saved-predictions pickle path.
+
+    ONE derivation shared by the writer (engine/tester SAVE_PRED) and every
+    reader (pointcloud export, hand comparison panels) so they can never
+    silently disagree.  The reference names the dump via TEST/VIS config
+    with torch's .pth suffix (tester.py:216-227); this framework pickles,
+    hence the suffix rewrite.
+    """
+    import os
+
+    name = cfg.VIS.SAVE_PRED_NAME.replace(".pth", ".pkl").replace(".npz", ".pkl")
+    return os.path.join(out_dir if out_dir is not None else (cfg.OUTPUT_DIR or "."), name)

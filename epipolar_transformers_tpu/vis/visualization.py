@@ -21,6 +21,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from ..utils.file_utils import pred_pickle_path
+
 
 def export_pointclouds(predictions_path: str, out_dir: str, limit: int = -1):
     """Eval prediction dumps -> per-sample pkl point clouds
@@ -278,16 +280,14 @@ def visualization(cfg):
     out_dir = cfg.OUTPUT_DIR or "."
 
     if cfg.LIFTING.ENABLED:
-        pred_path = os.path.join(
-            out_dir, cfg.VIS.SAVE_PRED_NAME.replace(".pth", ".pkl").replace(".npz", ".pkl"))
+        pred_path = pred_pickle_path(cfg, out_dir)
         if os.path.isfile(pred_path):
             produced["hand_panels"] = hand_comparison_panels(
                 pred_path, os.path.join(out_dir, "hand_panels"),
                 cfg.VIS.SAVE_PRED_LIMIT)
 
     if cfg.VIS.POINTCLOUD:
-        pred_path = os.path.join(
-            out_dir, cfg.VIS.SAVE_PRED_NAME.replace(".pth", ".pkl").replace(".npz", ".pkl"))
+        pred_path = pred_pickle_path(cfg, out_dir)
         pc_dir = os.path.join(out_dir, "pointclouds")
         produced["pointclouds"] = export_pointclouds(pred_path, pc_dir,
                                                      cfg.VIS.SAVE_PRED_LIMIT)

@@ -1,23 +1,22 @@
 """Probe: flagship fused-inference throughput vs batch size on the chip.
 
-Same chained-dependency methodology as bench.py (no subtraction, one fetch
-forces the whole chain); sweeps BATCH to find the throughput knee.  Used to
-pick bench.py's BATCH (results in PERF.md).
+Reuses bench.py's chained-dependency machinery verbatim (make_chained_step
++ _chained_bench) — one definition of the methodology, so the sweep can
+never silently diverge from what bench.py measures.  Results in PERF.md
+("batch-size sweep").
 """
 
 from __future__ import annotations
 
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, ".")
+
+from bench import _chained_bench, make_chained_step  # noqa: E402
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch, _flagship_cfg
     from epipolar_transformers_tpu.models import ModelBuilder
@@ -30,30 +29,10 @@ def main():
         variables = jax.jit(
             lambda rng: model.init(rng, inputs, is_train=False)
         )(jax.random.PRNGKey(0))
-
-        @jax.jit
-        def step(img, other_img, KRT, other_KRT):
-            feed = {"img": img, "other_img": other_img,
-                    "KRT": KRT, "other_KRT": other_KRT}
-            _, _, out = model.apply(variables, feed, is_train=False)
-            locs, scores = out["batch_locs"], out["score_pred"]
-            feedback = (jnp.mean(scores) + jnp.mean(locs)) * jnp.asarray(
-                1e-30, img.dtype)
-            return img + feedback, jnp.sum(scores)
-
+        step = make_chained_step(model, variables)
         args = jax.device_put(
             (inputs["img"], inputs["other_img"], inputs["KRT"], inputs["other_KRT"]))
-        img, rest = args[0], args[1:]
-        out = step(img, *rest)
-        _ = float(np.asarray(out[1]))
-        iters, best = 20, float("inf")
-        for _ in range(3):
-            x = img
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                x, checksum = step(x, *rest)
-            _ = float(np.asarray(checksum))
-            best = min(best, (time.perf_counter() - t0) / iters)
+        best = _chained_bench(step, args, iters=20, blocks=3)
         print(f"batch={batch:3d}  {best*1e3:8.2f} ms/iter  "
               f"{batch/best:8.1f} frames/s", flush=True)
 

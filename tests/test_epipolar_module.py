@@ -127,6 +127,33 @@ def test_prior_table_pair_sparse_and_distinct(camera_ring):
     assert not np.allclose(table[s37], table[s73])
 
 
+def test_prior_self_pair_reads_neutral_zero(camera_ring):
+    """camera == other_camera has no prior parameters (the reference's dict
+    would KeyError); under jit the traced index can't raise, so the slot
+    must read a NEUTRAL ZERO — with SIMILARITY='prior' (weights ARE the
+    prior) the fused output is then exactly zero, never another pair's
+    learned parameters."""
+    cfg = _cfg(PRIOR=True, SIMILARITY="prior", PARAMETERIZED=())
+    cfg = update_from_dict(cfg, {"DATASETS": {"CAMERAS": (0, 1, 2, 3)}})
+    model = Epipolar(cfg)
+    feat1, feat2, P1, P2 = _inputs(camera_ring)
+    cam = jnp.asarray([2, 0])
+    variables = model.init(
+        jax.random.PRNGKey(4), feat1, feat2, P1, P2,
+        camera=cam, other_camera=jnp.asarray([1, 3]), train=False,
+    )
+    out_self, *_ = model.apply(
+        variables, feat1, feat2, P1, P2,
+        camera=cam, other_camera=cam, train=False,  # self-pairs
+    )
+    np.testing.assert_allclose(np.asarray(out_self), 0.0, atol=1e-7)
+    out_valid, *_ = model.apply(
+        variables, feat1, feat2, P1, P2,
+        camera=cam, other_camera=jnp.asarray([1, 3]), train=False,
+    )
+    assert np.abs(np.asarray(out_valid)).max() > 0
+
+
 def test_prior_requires_cameras(camera_ring):
     cfg = _cfg(PRIOR=True, SIMILARITY="prior", PARAMETERIZED=())
     model = Epipolar(cfg)

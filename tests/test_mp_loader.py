@@ -144,3 +144,55 @@ def test_mp_two_epochs_reshuffle():
     assert not np.array_equal(e0, e1)  # epoch feeds the shuffle rng
     np.testing.assert_array_equal(np.sort(e0), np.arange(16))
     np.testing.assert_array_equal(np.sort(e1), np.arange(16))
+
+
+class KillSelfDataset(ArangeDataset):
+    """Simulates an OOM/SIGKILL: the worker holding this index dies without
+    shipping its result (nothing is put on the result queue)."""
+
+    def __init__(self, kill_at, **kw):
+        super().__init__(**kw)
+        self.kill_at = kill_at
+
+    def __getitem__(self, i):
+        if i == self.kill_at:
+            import os
+            import signal
+
+            os.kill(os.getpid(), signal.SIGKILL)
+        return super().__getitem__(i)
+
+
+def test_mp_killed_worker_raises_not_hangs():
+    """A worker killed by the OS (no error shipped) must surface as a
+    RuntimeError — re-dispatch hands the task to the next worker, which
+    also dies (poison item), and the loader raises instead of stalling."""
+    loader = DataLoader(KillSelfDataset(kill_at=6, n=32), batch_size=4,
+                        num_workers=2)
+    with pytest.raises(RuntimeError, match="died|poison"):
+        _stream(loader)
+
+
+def test_mp_forkserver_start_method():
+    """mp_start_method='forkserver': clean children (no fork-inherited
+    locks) receive the dataset by pickling; stream must be identical."""
+    a = DataLoader(ArangeDataset(16), batch_size=4, shuffle=True, seed=2)
+    b = DataLoader(ArangeDataset(16), batch_size=4, shuffle=True, seed=2,
+                   num_workers=2, mp_start_method="forkserver")
+    for x, y in zip(_stream(a), _stream(b)):
+        np.testing.assert_array_equal(x["idx"], y["idx"])
+
+
+def test_io_bound_survives_wrapping():
+    """DATALOADER.NUM_WORKERS keys off dataset.io_bound; ConcatDataset and
+    MixedDataset must propagate it from their members (else worker
+    processes silently no-op on multi-dataset train configs)."""
+    from epipolar_transformers_tpu.data.datasets.mpii import MixedDataset
+    from epipolar_transformers_tpu.data.pipeline import ConcatDataset
+
+    cheap, heavy = ArangeDataset(4), ArangeDataset(4)
+    heavy.io_bound = True
+    assert ConcatDataset([cheap, heavy]).io_bound
+    assert not ConcatDataset([cheap, cheap]).io_bound
+    assert MixedDataset(heavy, cheap).io_bound
+    assert not MixedDataset(cheap, cheap).io_bound
