@@ -35,13 +35,32 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place every array in `batch` with its leading dim sharded over `axis`.
 
     Scalars / sub-batch-rank arrays are replicated.
+
+    Single process: a plain device_put.  Multi-process (--multihost): each
+    process holds only ITS loader shard (trainer passes
+    shard_id=process_index), and device_put cannot target non-addressable
+    devices — the global array is assembled from the per-process locals via
+    jax.make_array_from_process_local_data (leading dim concatenates over
+    processes in mesh order; replicated leaves must be identical on every
+    process, which they are: the loaders are seed-deterministic).
     """
     n = mesh.devices.size
+    procs = jax.process_count()
+    local_devices = max(n // procs, 1)
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, batch_sharding(mesh, axis))
-        return jax.device_put(x, replicated(mesh))
+        # shardable: the LOCAL leading dim splits evenly over this
+        # process's devices (single process: local == global)
+        shardable = x.ndim >= 1 and x.shape[0] % local_devices == 0 and x.shape[0] > 0
+        if procs == 1:
+            sharding = batch_sharding(mesh, axis) if shardable else replicated(mesh)
+            return jax.device_put(x, sharding)
+        if shardable:
+            global_shape = (x.shape[0] * procs,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                batch_sharding(mesh, axis), x, global_shape
+            )
+        return jax.make_array_from_process_local_data(replicated(mesh), x, x.shape)
 
     return jax.tree_util.tree_map(put, batch)
