@@ -249,17 +249,22 @@ class Epipolar(nn.Module):
             self.impl in ("auto", "matmul")
             and supports_matmul_attention(params)
         ):
-            # gather-free path: depth (the full weight stack) comes free
+            # gather-free path: depth (the full weight stack) comes free.
+            # remat only under training: checkpoint is an autodiff-only
+            # construct (a no-op on a pure forward jit — measured neutral,
+            # 869.0 vs 869.8 f/s on the flagship bench), but an eval-mode
+            # forward embedded in someone else's grad shouldn't pay
+            # chunk-recompute in its backward
             if prior is None:
                 out, corr_pos, depth = jax.vmap(
                     lambda q, o1, o2, s: epipolar_attention_matmul(
-                        q, o1, o2, s, params
+                        q, o1, o2, s, params, remat=train
                     )
                 )(query, other1, other2, sample_locs)
             else:
                 out, corr_pos, depth = jax.vmap(
                     lambda q, o1, o2, s, p: epipolar_attention_matmul(
-                        q, o1, o2, s, params, p
+                        q, o1, o2, s, params, p, remat=train
                     )
                 )(query, other1, other2, sample_locs, prior)
         elif supports_pooled_attention(params) and (
@@ -276,11 +281,11 @@ class Epipolar(nn.Module):
             # config (prior similarity); force ATTENTION_IMPL=pooled to
             # bench/compare.
             shared = self._shared_kv()
-            fn = jax.checkpoint(
-                lambda q, o1, o2, s, p: epipolar_attention_pooled(
-                    q, o1, o2, s, params, p, shared_kv=shared
-                )
+            fn = lambda q, o1, o2, s, p: epipolar_attention_pooled(  # noqa: E731
+                q, o1, o2, s, params, p, shared_kv=shared
             )
+            if train:
+                fn = jax.checkpoint(fn)
             if prior is None:
                 out, corr_pos, depth = jax.vmap(
                     lambda q, o1, o2, s: fn(q, o1, o2, s, None)
@@ -306,7 +311,7 @@ class Epipolar(nn.Module):
             if prior is None:
                 out, corr_pos, stats = jax.vmap(
                     lambda q, o1, o2, s: epipolar_attention_streaming(
-                        q, o1, o2, s, params, shared_kv=shared
+                        q, o1, o2, s, params, shared_kv=shared, remat=train
                     )
                 )(query, other1, other2, sample_locs)
                 if need_depth:
@@ -318,7 +323,7 @@ class Epipolar(nn.Module):
             else:
                 out, corr_pos, stats = jax.vmap(
                     lambda q, o1, o2, s, p: epipolar_attention_streaming(
-                        q, o1, o2, s, params, p, shared_kv=shared
+                        q, o1, o2, s, params, p, shared_kv=shared, remat=train
                     )
                 )(query, other1, other2, sample_locs, prior)
                 if need_depth:

@@ -155,6 +155,7 @@ def epipolar_attention_matmul(
     prior: jnp.ndarray | None = None,
     q_chunk: int = 32,
     profile_dtype=None,
+    remat: bool = True,
 ):
     """Single-item epipolar attention, gather-free (drop-in for
     ops/epipolar_attention.epipolar_attention on supported configs).
@@ -171,6 +172,12 @@ def epipolar_attention_matmul(
             32 -> 5.9 ms/iter, 64 -> 7.1, 128 -> 12.3, 512 -> 13-15 —
             small chunks keep every intermediate VMEM-resident and the
             lax.map loop pipelines; 32 is the sweet spot.
+        remat: jax.checkpoint the per-chunk body so autodiff re-computes
+            the (Q, K, H/W) profile intermediates instead of saving them
+            (needed for training memory at real shapes).  Pass False at
+            inference: on a pure forward jit checkpoint is a no-op
+            (measured neutral on the flagship bench), but an eval forward
+            differentiated from outside shouldn't pay chunk-recompute.
     Returns:
         out: (H, W, Cv) fused features (dtype of other2).
         corr_pos: (H, W, 2) feature-pixel coords of the best sample.
@@ -293,7 +300,8 @@ def epipolar_attention_matmul(
         best_c = jnp.argmax(w, axis=-1).astype(jnp.int32)
         return out_c, depth_c, best_c
 
-    out, depth, best = jax.lax.map(jax.checkpoint(chunk), xs)
+    body = jax.checkpoint(chunk) if remat else chunk
+    out, depth, best = jax.lax.map(body, xs)
     out = out.reshape(H, W, -1).astype(other2.dtype)
     depth = depth.reshape(HW, K).T.reshape(K, H, W)
     best = best.reshape(H, W)
@@ -307,17 +315,17 @@ def epipolar_attention_matmul(
 
 def epipolar_attention_matmul_batch(
     feat1, other1, other2, sample_locs, params: AttentionParams, prior=None,
-    q_chunk: int = 32,
+    q_chunk: int = 32, remat: bool = True,
 ):
     """vmap over the batch: feats (N, H, W, C), sample_locs (N, K, H, W, 2)."""
     if prior is None:
         return jax.vmap(
             lambda f, o1, o2, s: epipolar_attention_matmul(
-                f, o1, o2, s, params, q_chunk=q_chunk
+                f, o1, o2, s, params, q_chunk=q_chunk, remat=remat
             )
         )(feat1, other1, other2, sample_locs)
     return jax.vmap(
         lambda f, o1, o2, s, p: epipolar_attention_matmul(
-            f, o1, o2, s, params, p, q_chunk=q_chunk
+            f, o1, o2, s, params, p, q_chunk=q_chunk, remat=remat
         )
     )(feat1, other1, other2, sample_locs, prior)

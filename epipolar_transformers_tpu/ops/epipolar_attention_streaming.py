@@ -77,6 +77,7 @@ def epipolar_attention_streaming(
     params: AttentionParams,
     prior: Optional[jnp.ndarray] = None,
     shared_kv: bool = False,
+    remat: bool = True,
 ):
     """Single-item streaming attention.
 
@@ -85,6 +86,10 @@ def epipolar_attention_streaming(
         values; sample_locs (K, H, W, 2); prior optional (K', H, W);
         shared_kv: True when other1 and other2 are the same tensor (skips the
             second gather — the flagship SHARE path, epipolar.py:204-208).
+        remat: jax.checkpoint the scan body so the backward re-gathers
+            instead of saving the (K, H, W, C) sampled tensor; pass False
+            at inference (a no-op on a pure forward jit, but an externally
+            differentiated eval forward shouldn't re-gather in backward).
     Returns:
         (out (H, W, Cv), corr_pos (H, W, 2), stats: SoftmaxStats)
     """
@@ -164,7 +169,7 @@ def epipolar_attention_streaming(
         jnp.zeros((H, W), dtype=jnp.int32),
     )
     (m, s, o, best_rank, best_v, best_idx), _ = jax.lax.scan(
-        jax.checkpoint(step), init, xs
+        jax.checkpoint(step) if remat else step, init, xs
     )
 
     if is_max:
