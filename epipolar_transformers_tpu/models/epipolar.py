@@ -40,6 +40,10 @@ from ..ops.epipolar_attention_matmul import (
     epipolar_attention_matmul,
     supports_matmul_attention,
 )
+from ..ops.epipolar_attention_pallas import (
+    epipolar_attention_pallas_batch,
+    supports_pallas_attention,
+)
 from ..ops.epipolar_attention_streaming import (
     epipolar_attention_streaming,
     reconstruct_depth,
@@ -66,7 +70,8 @@ class Epipolar(nn.Module):
     @property
     def impl(self) -> str:
         impl = self.attention_impl or self.cfg.EPIPOLAR.ATTENTION_IMPL
-        if impl not in ("auto", "matmul", "pooled", "streaming", "reference"):
+        if impl not in ("auto", "pallas", "matmul", "pooled", "streaming",
+                        "reference"):
             raise ValueError(f"unknown EPIPOLAR.ATTENTION_IMPL {impl!r}")
         return impl
 
@@ -236,6 +241,8 @@ class Epipolar(nn.Module):
         # not silently fall through to the oracle
         unsupported = (
             (self.impl == "matmul" and not supports_matmul_attention(params))
+            or (self.impl == "pallas"
+                and not supports_pallas_attention(params))
             or (self.impl == "pooled" and not supports_pooled_attention(params))
             or (self.impl == "streaming" and e.SIMILARITY == "prior")
         )
@@ -245,7 +252,18 @@ class Epipolar(nn.Module):
                 f"this config's attention semantics ({params}); use 'auto'"
             )
 
-        if (
+        if self.impl == "pallas":
+            # fused Mosaic kernel (explicit opt-in): XLA keeps the two big
+            # matmuls, the kernel fuses the profile/softmax middle.  On the
+            # v5e it measures SLOWER than the XLA matmul path (9.3 vs 6.4
+            # ms/iter flagship bf16 — in-kernel q-batched 64^3 dots run far
+            # below MXU peak; scripts/bench_attn_pallas.py), so 'auto'
+            # never lands here; the kernel is kept as a measured,
+            # parity-tested alternative and a base for future Mosaic work.
+            out, corr_pos, depth = epipolar_attention_pallas_batch(
+                query, other1, other2, sample_locs, params, prior
+            )
+        elif (
             self.impl in ("auto", "matmul")
             and supports_matmul_attention(params)
         ):

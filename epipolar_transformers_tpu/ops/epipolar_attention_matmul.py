@@ -153,7 +153,7 @@ def epipolar_attention_matmul(
     sample_locs: jnp.ndarray,
     params: AttentionParams,
     prior: jnp.ndarray | None = None,
-    q_chunk: int = 32,
+    q_chunk: int = 64,
     profile_dtype=None,
     remat: bool = True,
 ):
@@ -168,10 +168,12 @@ def epipolar_attention_matmul(
         prior: optional (K, H, W) learned per-camera-pair prior.
         q_chunk: queries per sequential chunk (bounds peak memory; the
             profile intermediates are (q_chunk, K, max(H, W))).  Swept on
-            a v5e chip at the flagship shape (H=W=K=64, C=256, batch 8):
-            32 -> 5.9 ms/iter, 64 -> 7.1, 128 -> 12.3, 512 -> 13-15 —
-            small chunks keep every intermediate VMEM-resident and the
-            lax.map loop pipelines; 32 is the sweet spot.
+            a v5e chip at the flagship shape (H=W=K=64, C=256, batch 8),
+            round 4 (scripts/bench_attn_sweep.py / bench_attn_grad.py):
+            forward 64 -> 5.9 ms/iter, 32 -> 6.7, 16 -> 8.1, 8 -> 11.4,
+            4096 -> 15.8; value+grad with remat 64 -> 17.9, 32 -> 21.8,
+            128 -> 32.7.  64 wins both paths — big enough to amortize the
+            lax.map step, small enough that intermediates stay VMEM-resident.
         remat: jax.checkpoint the per-chunk body so autodiff re-computes
             the (Q, K, H/W) profile intermediates instead of saving them
             (needed for training memory at real shapes).  Pass False at
@@ -315,7 +317,7 @@ def epipolar_attention_matmul(
 
 def epipolar_attention_matmul_batch(
     feat1, other1, other2, sample_locs, params: AttentionParams, prior=None,
-    q_chunk: int = 32, remat: bool = True,
+    q_chunk: int = 64, remat: bool = True,
 ):
     """vmap over the batch: feats (N, H, W, C), sample_locs (N, K, H, W, 2)."""
     if prior is None:

@@ -199,7 +199,7 @@ def test_attention_impl_config_knob(camera_ring):
     reachable) and agrees with 'auto'; unknown values fail loudly."""
     feat1, feat2, P1, P2 = _inputs(camera_ring)
     outs = {}
-    for impl in ("auto", "matmul", "streaming", "reference"):
+    for impl in ("auto", "pallas", "matmul", "streaming", "reference"):
         cfg = _cfg(ATTENTION_IMPL=impl)
         model = Epipolar(cfg)
         variables = model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2,
@@ -207,7 +207,7 @@ def test_attention_impl_config_knob(camera_ring):
         out, _, _, _ = model.apply(variables, feat1, feat2, P1, P2,
                                    train=False)
         outs[impl] = np.asarray(out)
-    for impl in ("matmul", "streaming", "reference"):
+    for impl in ("pallas", "matmul", "streaming", "reference"):
         np.testing.assert_allclose(outs[impl], outs["auto"], rtol=1e-4,
                                    atol=1e-5)
     # an explicit field still overrides the config
@@ -223,6 +223,11 @@ def test_attention_impl_forced_unsupported_raises(camera_ring):
     silently falling through to the oracle (e.g. matmul on POOLING)."""
     feat1, feat2, P1, P2 = _inputs(camera_ring)
     cfg = _cfg(ATTENTION_IMPL="matmul", POOLING=True)
+    model = Epipolar(cfg)
+    with pytest.raises(ValueError, match="does not support"):
+        model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2, train=False)
+    # pallas covers avg+dot/prior only; cos must fail loudly when forced
+    cfg = _cfg(ATTENTION_IMPL="pallas", SIMILARITY="cos")
     model = Epipolar(cfg)
     with pytest.raises(ValueError, match="does not support"):
         model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2, train=False)

@@ -1,8 +1,11 @@
 """Fused Pallas attention kernel == two-pass oracle (interpret mode on CPU).
 
-The kernel itself runs compiled on TPU; these tests exercise the identical
-kernel body through the Pallas interpreter, so every index/layout decision
-is validated without hardware.
+The Mosaic kernel (ops/epipolar_attention_pallas.py) fuses the whole
+gather-free chunk body; on non-TPU backends it runs through the Pallas
+interpreter, so these tests pin the kernel's math — profile construction,
+zero-sentinel masking, prior handling, fusion — against the oracle
+independently of the hardware.  TPU-side parity of the compiled kernel is
+measured by scripts/bench_attn_pallas.py (f32 max err ~1e-6 on a v5e).
 """
 
 import numpy as np
@@ -15,43 +18,96 @@ from epipolar_transformers_tpu.ops.epipolar_attention import (
     epipolar_attention,
 )
 from epipolar_transformers_tpu.ops.epipolar_attention_pallas import (
-    epipolar_attention_pallas,
+    epipolar_attention_pallas_batch,
     supports_pallas_attention,
 )
 
 
-def _batch(rng, N=2, K=8, H=8, W=8, C=16):
-    feat1 = rng.randn(N, H, W, C).astype(np.float32)
-    other = rng.randn(N, H, W, C).astype(np.float32)
-    locs = (rng.rand(N, K, H, W, 2).astype(np.float32) * 2.6 - 1.3)
-    return jnp.asarray(feat1), jnp.asarray(other), jnp.asarray(locs)
+def _batch_case(rng, B=2, K=8, H=6, W=5, C=4):
+    feat1 = rng.randn(B, H, W, C).astype(np.float32)
+    other1 = rng.randn(B, H, W, C).astype(np.float32)
+    other2 = rng.randn(B, H, W, C).astype(np.float32)
+    locs = (rng.rand(B, K, H, W, 2).astype(np.float32) * 2.6 - 1.3)
+    return (jnp.asarray(feat1), jnp.asarray(other1), jnp.asarray(other2),
+            jnp.asarray(locs))
 
 
-@pytest.mark.parametrize("profile_mode", ["tent", "slots"])
-@pytest.mark.parametrize("softmax_enabled", [True, False])
-def test_pallas_matches_oracle(rng, softmax_enabled, profile_mode):
-    f1, f2, locs = _batch(rng)
-    params = AttentionParams(softmax_scale=1 / np.sqrt(8),
-                             softmax_enabled=softmax_enabled)
-    assert supports_pallas_attention(params, shared_kv=True, has_prior=False,
-                                     n_queries=64)
-    out, corr, depth = epipolar_attention_pallas(
-        f1, f2, locs, params, interpret=True, profile_mode=profile_mode)
-    for n in range(f1.shape[0]):
-        r_out, r_corr, r_depth = epipolar_attention(
-            f1[n], f2[n], f2[n], locs[n], params)
-        np.testing.assert_allclose(np.asarray(out[n]), np.asarray(r_out),
+def _oracle_batch(f1, o1, o2, locs, params, prior=None):
+    if prior is None:
+        return jax.vmap(
+            lambda a, b, c, l: epipolar_attention(a, b, c, l, params)
+        )(f1, o1, o2, locs)
+    return jax.vmap(
+        lambda a, b, c, l, p: epipolar_attention(a, b, c, l, params, p)
+    )(f1, o1, o2, locs, prior)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(attention="avg", similarity="dot"),
+    dict(attention="avg", similarity="dot", softmax_enabled=False),
+])
+@pytest.mark.parametrize("q_block", [64, 3])
+def test_pallas_matches_oracle(rng, kw, q_block):
+    f1, o1, o2, locs = _batch_case(rng)
+    params = AttentionParams(softmax_scale=1 / np.sqrt(8), **kw)
+    assert supports_pallas_attention(params)
+    ref = _oracle_batch(f1, o1, o2, locs, params)
+    got = epipolar_attention_pallas_batch(f1, o1, o2, locs, params,
+                                          q_block=q_block)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-4, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(corr[n]), np.asarray(r_corr),
-                                   rtol=1e-4, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(depth[n]), np.asarray(r_depth),
+
+
+def test_pallas_unsupported_configs():
+    for kw in (dict(attention="max", similarity="cos"),
+               dict(attention="avg", similarity="cos"),
+               dict(attention="avg", similarity="dot", pooling=True)):
+        assert not supports_pallas_attention(AttentionParams(**kw))
+
+
+def test_pallas_with_priors(rng):
+    f1, o1, o2, locs = _batch_case(rng)
+    prior = jnp.asarray(rng.rand(2, 8, 6, 5).astype(np.float32) * 0.1)
+    for priormul in (False, True):
+        params = AttentionParams(attention="avg", similarity="dot",
+                                 softmax_scale=1 / np.sqrt(8),
+                                 priormul=priormul)
+        ref = _oracle_batch(f1, o1, o2, locs, params, prior)
+        got = epipolar_attention_pallas_batch(f1, o1, o2, locs, params, prior)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"priormul={priormul}")
+
+
+def test_pallas_prior_similarity(rng):
+    """similarity='prior': weights are the prior itself (epipolar.py:288-293)."""
+    f1, o1, o2, locs = _batch_case(rng)
+    prior = jnp.asarray(rng.rand(2, 8, 6, 5).astype(np.float32) * 0.1)
+    params = AttentionParams(attention="avg", similarity="prior",
+                             softmax_scale=1 / np.sqrt(8))
+    ref = _oracle_batch(f1, o1, o2, locs, params, prior)
+    got = epipolar_attention_pallas_batch(f1, o1, o2, locs, params, prior)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("profile_mode", ["tent", "slots"])
-def test_pallas_real_geometry(rng, camera_ring, profile_mode):
-    """Parity on real epipolar-geometry sample locations (clipped lines,
-    out-of-range sentinels)."""
+def test_pallas_all_out_of_range(rng):
+    """Lines missing the rectangle: sim == 0 sentinel -> masked softmax ->
+    exact-zero output (reference zero-padding semantics, epipolar.py:298)."""
+    f1, o1, o2, _ = _batch_case(rng)
+    locs = jnp.full((2, 8, 6, 5, 2), -9.0)
+    params = AttentionParams(attention="avg", similarity="dot",
+                             softmax_scale=1 / np.sqrt(8))
+    out, _, _ = epipolar_attention_pallas_batch(f1, o1, o2, locs, params)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_pallas_real_geometry_locs(rng, camera_ring):
+    """Parity on sample locations produced by the actual epipolar geometry
+    (two synthetic cameras), including partially-clipped lines."""
     from epipolar_transformers_tpu.ops.epipolar_sampling import (
         EpipolarGeometry, epipolar_sample_locs,
     )
@@ -63,45 +119,11 @@ def test_pallas_real_geometry(rng, camera_ring, profile_mode):
                             resize=1.0, correct_normalize=True)
     locs = epipolar_sample_locs(P1, P2, geom).astype(jnp.float32)[None]
     f1 = jnp.asarray(rng.randn(1, H, W, 8).astype(np.float32))
-    f2 = jnp.asarray(rng.randn(1, H, W, 8).astype(np.float32))
-    params = AttentionParams(softmax_scale=0.25)
-    out, corr, depth = epipolar_attention_pallas(
-        f1, f2, locs, params, interpret=True, profile_mode=profile_mode)
-    r_out, r_corr, r_depth = epipolar_attention(f1[0], f2[0], f2[0], locs[0],
-                                                params)
-    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(r_out),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(depth[0]), np.asarray(r_depth),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(corr[0]), np.asarray(r_corr),
-                               rtol=1e-4, atol=1e-5)
-
-
-@pytest.mark.parametrize("mxu_precision", ["highest", "default"])
-def test_pallas_tent_precision_knob(rng, mxu_precision):
-    """Both mxu_precision settings trace/run (the interpreter computes f32
-    either way; on hardware 'default' lets the heavy contractions round to
-    bf16 while the coordinate-broadcast dots stay exact — see the module
-    docstring and scripts/probe_pallas_stages.py)."""
-    f1, f2, locs = _batch(rng, N=1)
-    params = AttentionParams(softmax_scale=1 / np.sqrt(8))
-    out, _, depth = epipolar_attention_pallas(
-        f1, f2, locs, params, interpret=True, profile_mode="tent",
-        mxu_precision=mxu_precision)
-    r_out, _, r_depth = epipolar_attention(f1[0], f2[0], f2[0], locs[0],
-                                           params)
-    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(r_out),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(depth[0]), np.asarray(r_depth),
-                               rtol=1e-4, atol=1e-5)
-
-
-@pytest.mark.parametrize("profile_mode", ["tent", "slots"])
-def test_pallas_all_out_of_range(rng, profile_mode):
-    f1, f2, _ = _batch(rng, N=1)
-    locs = jnp.full((1, 8, 8, 8, 2), -9.0)
-    params = AttentionParams(softmax_scale=1 / np.sqrt(8))
-    out, _, _ = epipolar_attention_pallas(f1, f2, locs, params,
-                                          interpret=True,
-                                          profile_mode=profile_mode)
-    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    o1 = jnp.asarray(rng.randn(1, H, W, 8).astype(np.float32))
+    params = AttentionParams(attention="avg", similarity="dot",
+                             softmax_scale=0.25)
+    ref = _oracle_batch(f1, o1, o1, locs, params)
+    got = epipolar_attention_pallas_batch(f1, o1, o1, locs, params)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
