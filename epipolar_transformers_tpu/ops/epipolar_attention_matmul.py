@@ -73,6 +73,13 @@ def supports_matmul_attention(params: AttentionParams) -> bool:
     )
 
 
+# samples-per-line count below which the K axis is padded with out-of-range
+# sentinels: XLA lowers the (.., K)-minor chunk einsums onto degenerate
+# layouts for K < 64 (measured 2x+ slower at K=32/16 than at K=64 on a v5e
+# — scripts/bench_attn_sweep.py; see epipolar_attention_matmul)
+_PAD_K = 64
+
+
 def _largest_divisor(n: int, cap: int) -> int:
     d = min(cap, n)
     while n % d:
@@ -188,7 +195,26 @@ def epipolar_attention_matmul(
     assert supports_matmul_attention(params), params
     sample_locs = jax.lax.stop_gradient(sample_locs)
     H, W, _ = feat1.shape
-    K = sample_locs.shape[0]
+    K_real = sample_locs.shape[0]
+    # Pad small sample counts up to _PAD_K with out-of-range sentinel
+    # locations.  XLA's lowering of the chunk einsums is pathologically
+    # SLOWER for K < 64 (flagship-shape sweep on a v5e: K=32 -> 14.5
+    # ms/iter, K=16 -> 9.6, vs K=64 -> 6.7 — scripts/bench_attn_sweep.py;
+    # (.., K)-minor tensors land on degenerate layouts).  Out-of-range
+    # samples get profile weight exactly 0, so every padded slot reproduces
+    # the zero-sentinel semantics of a clipped sample; the per-branch
+    # corrections below (true-K softmax-off divisor, real-slice argmax,
+    # degenerate-row rescale) make the padded computation EXACT, and the
+    # returned depth is sliced back to K_real rows.
+    pad_k = _PAD_K - K_real if K_real < _PAD_K else 0
+    if pad_k:
+        sample_locs = jnp.concatenate(
+            [sample_locs,
+             jnp.full((pad_k, H, W, 2), -2.0, sample_locs.dtype)], axis=0)
+        if prior is not None:
+            prior = jnp.concatenate(
+                [prior, jnp.zeros((pad_k, H, W), prior.dtype)], axis=0)
+    K = K_real + pad_k
     HW = H * W
     fuse_bf16 = other2.dtype == jnp.bfloat16
     # bf16 compute mode (cfg.DTYPE=bfloat16): the backbone emits bf16
@@ -255,8 +281,13 @@ def epipolar_attention_matmul(
                 # cosine = dot / (||f1|| * ||bilinear(f2)||), both norms
                 # clamped like torch F.cosine_similarity (oracle COS_EPS);
                 # a fully out-of-range sample keeps sim == 0.0 exactly
+                # floor far below COS_EPS^2: forward unchanged (the max
+                # with COS_EPS clamps anyway), but sqrt'(0) = inf would
+                # otherwise NaN the backward for exactly-zero norms —
+                # guaranteed on padded sample slots, possible on fully
+                # clipped lines
                 n2 = jnp.sqrt(jnp.maximum(
-                    _interp_norm2(yprof, xprof, dot_maps), 0.0))
+                    _interp_norm2(yprof, xprof, dot_maps), 1e-24))
                 n1 = jnp.linalg.norm(c["f1"].astype(jnp.float32), axis=-1)
                 sim = sim / (jnp.maximum(n1, COS_EPS)[:, None]
                              * jnp.maximum(n2, COS_EPS))
@@ -265,10 +296,12 @@ def epipolar_attention_matmul(
         if params.attention == "max":
             # reference epipolar.py:225-235,282-286: hard argmax over COSINE
             # similarity; no softmax, no zero-masking, prior unused; 'depth'
-            # downstream is the raw cosine stack
+            # downstream is the raw cosine stack.  argmax over the REAL
+            # slots only: a padded slot's cosine is exactly 0, which would
+            # win over all-negative real similarities.
             sim = dot_sim()
             w = jax.nn.one_hot(
-                jnp.argmax(sim, axis=-1), K, dtype=jnp.float32)
+                jnp.argmax(sim[:, :K_real], axis=-1), K, dtype=jnp.float32)
             depth_c = sim
         elif params.similarity == "prior":
             w = p
@@ -281,10 +314,19 @@ def epipolar_attention_matmul(
                 masked = masked + p
             if params.softmax_enabled:
                 w = jax.nn.softmax(masked * jnp.float32(params.softmax_scale), axis=-1)
+                if pad_k:
+                    # all-out-of-range queries: the unpadded softmax over K
+                    # NEG_INFs is uniform 1/K_real; over K padded slots it
+                    # is 1/K — rescale those rows so the returned weights
+                    # (and nothing else: the fused output is 0 either way)
+                    # stay exact
+                    degen = jnp.all(sim == 0.0, axis=-1, keepdims=True)
+                    w = jnp.where(degen, w * (K / K_real), w)
                 if p is not None and params.priormul:
                     w = w * p
             else:
-                w = masked / K
+                # divide by the TRUE sample count (reference /K semantics)
+                w = masked / K_real
             depth_c = w
 
         n_mat = jnp.einsum(
@@ -298,14 +340,16 @@ def epipolar_attention_matmul(
             "qp,pc->qc", n_mat, f2v, preferred_element_type=jnp.float32
         )
         # oracle: best = argmax of the final weights (avg) / cosine sim (max);
-        # for max the one-hot w shares its argmax with sim
-        best_c = jnp.argmax(w, axis=-1).astype(jnp.int32)
+        # for max the one-hot w shares its argmax with sim.  Real slots
+        # only: a padded slot's weight (0, or the raw prior 0) could
+        # otherwise win over all-negative real weights.
+        best_c = jnp.argmax(w[:, :K_real], axis=-1).astype(jnp.int32)
         return out_c, depth_c, best_c
 
     body = jax.checkpoint(chunk) if remat else chunk
     out, depth, best = jax.lax.map(body, xs)
     out = out.reshape(H, W, -1).astype(other2.dtype)
-    depth = depth.reshape(HW, K).T.reshape(K, H, W)
+    depth = depth.reshape(HW, K).T[:K_real].reshape(K_real, H, W)
     best = best.reshape(H, W)
 
     pos = jnp.take_along_axis(sample_locs, best[None, :, :, None], axis=0)[0]

@@ -123,6 +123,36 @@ def test_epipolar_forward_matches_reference_golden(case, attention, correct):
     assert np.abs(got_depth - want_depth).mean() < 3e-3
 
 
+@pytest.mark.parametrize("case,correct", [
+    ("avg_dot_correct", True),
+    ("avg_dot_legacy", False),
+])
+def test_epipolar_forward_golden_pallas(case, correct):
+    """The fused Mosaic kernel path (interpret mode on CPU) against the
+    same saved reference activations as the XLA paths.  avg only — the
+    kernel does not cover max/cos (supports_pallas_attention)."""
+    from epipolar_transformers_tpu.models.epipolar import Epipolar
+
+    g = _load("epipolar_golden.npz")
+    feat1 = jnp.asarray(g["feat1"].transpose(0, 2, 3, 1))
+    feat2 = jnp.asarray(g["feat2"].transpose(0, 2, 3, 1))
+    P1, P2 = jnp.asarray(g["P1"]), jnp.asarray(g["P2"])
+
+    cfg = _epipolar_cfg("avg", correct, g["samplesize"], g["downsample"])
+    model = Epipolar(cfg, attention_impl="pallas")
+    variables = model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2,
+                           train=False)
+    out, _, depth, _ = model.apply(
+        variables, feat1, feat2, P1, P2, train=False)
+
+    want_out = g[f"{case}__out"].transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), want_out, rtol=0, atol=0.03)
+    assert np.abs(np.asarray(out) - want_out).mean() < 3e-3
+    want_depth = g[f"{case}__depth"]
+    np.testing.assert_allclose(np.asarray(depth), want_depth, rtol=0,
+                               atol=0.03)
+
+
 def test_epipolar_sample_locs_match_reference_golden():
     """The raw line-sampling geometry vs the reference's grid2sample_locs
     debug dump: same direction, same validity pattern, sub-half-pixel
