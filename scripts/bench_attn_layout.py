@@ -17,7 +17,6 @@ Run on the real TPU:  python scripts/bench_attn_layout.py
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys

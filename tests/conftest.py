@@ -38,14 +38,16 @@ jax.config.update("jax_enable_x64", True)
 # bit-identical.
 def _cpu_fingerprint():
     import hashlib
+    key = jax.__version__  # XLA target configs differ across jaxlibs too
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                    key += line
+                    break
     except OSError:
         pass
-    return "generic"
+    return hashlib.sha1(key.encode()).hexdigest()[:12]
 
 
 _cache_dir = os.environ.get(

@@ -25,6 +25,27 @@ import numpy as np
 import pytest
 
 from epipolar_transformers_tpu.config import Config, update_from_dict
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """Disable the persistent XLA compile cache for this module.
+
+    These tests compare 1-device against 8-device executions to tight
+    tolerances.  A stale persistent-cache entry AOT-compiled under a
+    different XLA target config (observed: entries carrying
+    +prefer-no-scatter/+prefer-no-gather features the current host's XLA
+    does not report — cpu_aot_loader warns, numerics drift) can feed ONE
+    side of the comparison while the other compiles fresh, producing
+    ~5e-1 BN-moment drift that looks exactly like the sync bug the module
+    exists to rule out.  Same-process fresh compiles are bit-identical, so
+    both sides must compile in the same environment: no persistent cache
+    here (the conftest cpuinfo fingerprint cannot see XLA's compile-time
+    pseudo-features, so keying alone cannot prevent this)."""
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
 from epipolar_transformers_tpu.data.pipeline import make_data_loader
 from epipolar_transformers_tpu.engine import create_train_state, make_train_step
 from epipolar_transformers_tpu.engine.trainer import select_model_inputs
