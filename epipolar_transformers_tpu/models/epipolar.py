@@ -242,14 +242,16 @@ class Epipolar(nn.Module):
         unsupported = (
             (self.impl == "matmul" and not supports_matmul_attention(params))
             or (self.impl == "pallas"
-                and not supports_pallas_attention(params))
+                and (not supports_pallas_attention(params) or train))
             or (self.impl == "pooled" and not supports_pooled_attention(params))
             or (self.impl == "streaming" and e.SIMILARITY == "prior")
         )
         if unsupported:
             raise ValueError(
                 f"EPIPOLAR.ATTENTION_IMPL={self.impl!r} does not support "
-                f"this config's attention semantics ({params}); use 'auto'"
+                f"this config's attention semantics ({params}"
+                f"{', train=True — the Mosaic kernel is forward-only' if self.impl == 'pallas' and train else ''}"
+                "); use 'auto'"
             )
 
         if self.impl == "pallas":

@@ -206,7 +206,10 @@ def epipolar_attention_matmul(
     # corrections below (true-K softmax-off divisor, real-slice argmax,
     # degenerate-row rescale) make the padded computation EXACT, and the
     # returned depth is sliced back to K_real rows.
-    pad_k = _PAD_K - K_real if K_real < _PAD_K else 0
+    # (min-size guard: -2.0 normalized unnormalizes to -(S-1)/2, which is
+    # only fully out of range for S >= 3 — for degenerate 1/2-px test
+    # images the sentinel would land IN range and corrupt the result)
+    pad_k = _PAD_K - K_real if (K_real < _PAD_K and min(H, W) >= 3) else 0
     if pad_k:
         sample_locs = jnp.concatenate(
             [sample_locs,

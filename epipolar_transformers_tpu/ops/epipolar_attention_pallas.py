@@ -136,7 +136,6 @@ def _pallas_attention(xb, wx0, wx1, yb, wy0, wy1, f1, f2k, f2v, prior,
     """Batched fused attention.  All location args (B, HW, K); features
     (B, HW, C).  Returns out (B, HW, Cv) f32, depth (B, HW, K) f32."""
     B, HW, K = xb.shape
-    Cv = f2v.shape[-1]
     Q = _largest_divisor(HW, q_block)
     nc = HW // Q
     has_prior = prior is not None

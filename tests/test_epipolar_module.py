@@ -231,3 +231,9 @@ def test_attention_impl_forced_unsupported_raises(camera_ring):
     model = Epipolar(cfg)
     with pytest.raises(ValueError, match="does not support"):
         model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2, train=False)
+    # ... and the Mosaic kernel is forward-only: train=True must raise the
+    # loud error, not an obscure autodiff failure mid-grad
+    cfg = _cfg(ATTENTION_IMPL="pallas")
+    model = Epipolar(cfg)
+    with pytest.raises(ValueError, match="forward-only"):
+        model.init(jax.random.PRNGKey(0), feat1, feat2, P1, P2, train=True)
