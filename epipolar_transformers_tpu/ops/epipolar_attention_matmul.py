@@ -76,7 +76,8 @@ def supports_matmul_attention(params: AttentionParams) -> bool:
 # samples-per-line count below which the K axis is padded with out-of-range
 # sentinels: XLA lowers the (.., K)-minor chunk einsums onto degenerate
 # layouts for K < 64 (measured 2x+ slower at K=32/16 than at K=64 on a v5e
-# — scripts/bench_attn_sweep.py; see epipolar_attention_matmul)
+# — scripts/bench_attn_sweep.py, whose K/2-nopad / K/4-nopad cases set this
+# to 0 to reproduce the unpadded regression)
 _PAD_K = 64
 
 

@@ -41,8 +41,12 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     shard_id=process_index), and device_put cannot target non-addressable
     devices — the global array is assembled from the per-process locals via
     jax.make_array_from_process_local_data (leading dim concatenates over
-    processes in mesh order; replicated leaves must be identical on every
-    process, which they are: the loaders are seed-deterministic).
+    processes in mesh order).  Multi-process batch leaves are per-process
+    DATA, so they must shard: a local leading dim that does not divide over
+    this process's devices raises rather than silently "replicating"
+    per-process-different arrays (which JAX never cross-checks — each
+    process would train on its own batch with no gradient sync).  Only 0-d
+    scalars, identical everywhere by seed-determinism, replicate.
     """
     n = mesh.devices.size
     procs = jax.process_count()
@@ -60,6 +64,16 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
             global_shape = (x.shape[0] * procs,) + x.shape[1:]
             return jax.make_array_from_process_local_data(
                 batch_sharding(mesh, axis), x, global_shape
+            )
+        if x.ndim >= 1:
+            raise ValueError(
+                f"multi-process shard_batch: leaf shape {x.shape} has a local "
+                f"leading dim not divisible by the {local_devices} local "
+                f"device(s) of process {jax.process_index()}/{procs}. "
+                "Per-process batch shards differ across processes, so falling "
+                "back to replication would silently train each process on its "
+                "own data. Make IMS_PER_BATCH divisible by "
+                "(process_count * local_device_count)."
             )
         return jax.make_array_from_process_local_data(replicated(mesh), x, x.shape)
 

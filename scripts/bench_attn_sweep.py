@@ -32,14 +32,19 @@ BATCH = 8
 ITERS = 20
 
 
-def timed(H, W, K, C, q_chunk, iters=ITERS):
+def timed(H, W, K, C, q_chunk, iters=ITERS, pad_k=True):
     import jax
     import jax.numpy as jnp
 
+    from epipolar_transformers_tpu.ops import epipolar_attention_matmul as mm
     from epipolar_transformers_tpu.ops.epipolar_attention import AttentionParams
     from epipolar_transformers_tpu.ops.epipolar_attention_matmul import (
         epipolar_attention_matmul_batch,
     )
+
+    # K<64 is padded to 64 by default (_PAD_K); the -nopad cases disable it
+    # so the regression that motivated the pad stays measurable
+    mm._PAD_K = 64 if pad_k else 0
 
     params = AttentionParams(attention="avg", similarity="dot",
                              softmax_scale=1.0 / np.sqrt(K))
@@ -69,21 +74,24 @@ def timed(H, W, K, C, q_chunk, iters=ITERS):
 
 def main():
     cases = [
-        # label, H, K, C, q_chunk
-        ("flagship", 64, 64, 256, 32),
-        ("C/2", 64, 64, 128, 32),
-        ("C/4", 64, 64, 64, 32),
-        ("K/2", 64, 32, 256, 32),
-        ("K/4", 64, 16, 256, 32),
-        ("q16", 64, 64, 256, 16),
-        ("q64", 64, 64, 256, 64),
-        ("q8", 64, 64, 256, 8),
-        ("q4096", 64, 64, 256, 4096),
+        # label, H, K, C, q_chunk, pad_k
+        ("flagship", 64, 64, 256, 32, True),
+        ("C/2", 64, 64, 128, 32, True),
+        ("C/4", 64, 64, 64, 32, True),
+        ("K/2", 64, 32, 256, 32, True),
+        ("K/4", 64, 16, 256, 32, True),
+        ("K/2-nopad", 64, 32, 256, 32, False),
+        ("K/4-nopad", 64, 16, 256, 32, False),
+        ("q16", 64, 64, 256, 16, True),
+        ("q64", 64, 64, 256, 64, True),
+        ("q8", 64, 64, 256, 8, True),
+        ("q4096", 64, 64, 256, 4096, True),
     ]
-    for label, H, K, C, q in cases:
-        ms = timed(H, H, K, C, q)
+    for label, H, K, C, q, pad in cases:
+        ms = timed(H, H, K, C, q, pad_k=pad)
         print(json.dumps({"case": label, "H": H, "K": K, "C": C,
-                          "q_chunk": q, "ms_per_iter": round(ms, 3)}),
+                          "q_chunk": q, "pad_k": pad,
+                          "ms_per_iter": round(ms, 3)}),
               flush=True)
 
 

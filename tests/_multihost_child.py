@@ -34,7 +34,10 @@ def main():
 
     from __graft_entry__ import _flagship_cfg
     from epipolar_transformers_tpu.config import update_from_dict
-    from epipolar_transformers_tpu.engine.trainer import train
+    from epipolar_transformers_tpu.data.pipeline import make_data_loader
+    from epipolar_transformers_tpu.engine.trainer import (
+        create_train_state, materialize_model_inputs, train)
+    from epipolar_transformers_tpu.parallel.mesh import make_mesh
 
     cfg = _flagship_cfg(tiny=True)
     cfg = update_from_dict(cfg, {
@@ -44,11 +47,27 @@ def main():
         "OUTPUT_DIR": "",
     })
 
-    state = train(cfg, max_steps=3)
-
     def param_sum(tree):
         return float(sum(np.abs(np.asarray(x)).sum()
                          for x in jax.tree_util.tree_leaves(tree)))
+
+    # Reproduce train()'s seed-deterministic init (same PRNGKey split, same
+    # first-batch shapes) to capture the BEFORE sum the parent asserts
+    # against — proving the 3 steps actually moved the params, not just
+    # that both processes agree on untouched init values.
+    mesh = make_mesh()
+    loader = make_data_loader(cfg, is_train=True, shard_id=proc_id,
+                              num_shards=2)
+    init_rng, _ = jax.random.split(jax.random.PRNGKey(cfg.SEED))
+    with mesh:
+        sample = materialize_model_inputs(cfg, next(iter(loader)))
+        state0 = create_train_state(cfg, init_rng, sample,
+                                    max(len(loader), 1))
+    print(f"PROC {proc_id} PARAM_SUM_BEFORE {param_sum(state0.params):.10e}",
+          flush=True)
+    del state0, loader
+
+    state = train(cfg, max_steps=3, mesh=mesh)
 
     print(f"PROC {proc_id} PARAM_SUM_AFTER {param_sum(state.params):.10e}",
           flush=True)

@@ -30,6 +30,21 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_shard_batch_rejects_nondivisible_multiprocess(monkeypatch):
+    """Multi-process shard_batch must raise on a non-divisible local batch
+    rather than silently 'replicating' per-process-different data (which
+    would train each process on its own batch with no gradient sync)."""
+    import numpy as np
+
+    import jax
+    from epipolar_transformers_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)  # -> 4 local devices
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch({"img": np.zeros((3, 4, 4, 1), np.float32)}, mesh)
+
+
 @pytest.mark.slow
 def test_two_process_train_step_keeps_params_in_sync():
     port = _free_port()
@@ -50,14 +65,25 @@ def test_two_process_train_step_keeps_params_in_sync():
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        # a hung/failed pair must not leak children (they hold the
+        # coordinator port and CPU) — kill whatever is still running
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
 
-    sums, steps = {}, {}
+    before, sums, steps = {}, {}, {}
     for out in outs:
+        b = re.search(r"PROC (\d) PARAM_SUM_BEFORE (\S+)", out)
+        assert b, out[-4000:]
+        before[int(b.group(1))] = b.group(2)
         m = re.search(r"PROC (\d) PARAM_SUM_AFTER (\S+)", out)
         assert m, out[-4000:]
         sums[int(m.group(1))] = m.group(2)
@@ -69,3 +95,7 @@ def test_two_process_train_step_keeps_params_in_sync():
     # kept both processes' replicated params in lockstep
     assert sums[0] == sums[1], f"params diverged across processes: {sums}"
     assert float(sums[0]) > 0
+    # ... and the 3 optimizer steps actually changed the parameters (rules
+    # out a silently no-op'ing optimizer certifying sync of untouched init)
+    assert before[0] == before[1], f"init diverged across processes: {before}"
+    assert sums[0] != before[0], "params did not move over 3 train steps"
