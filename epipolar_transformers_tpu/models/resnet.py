@@ -69,6 +69,51 @@ def _norm(cfg: Config, name: str):
     )
 
 
+class StemConv(nn.Module):
+    """The 7x7/s2/pad3 stem conv, lowered space-to-depth on even inputs.
+
+    C_in=3 leaves the MXU contraction dim 3/128 full; re-laying the input as
+    2x2 blocks ((B,H,W,3) -> (B,H/2,W/2,12)) and the kernel as an equivalent
+    4x4/s1 conv (7x7 zero-padded to 8x8, taps split by output phase) is
+    exact up to f32 reassociation and measured 1.43 -> 1.14 ms/iter at the
+    bench shape INCLUDING the on-device input re-layout
+    (scripts/bench_stem_s2d.py).  The stored parameter stays the canonical
+    (7,7,Cin,64) kernel, so checkpoints and the torch weight importer
+    (reference resnet.py:439-487) are unchanged.  Odd spatial sizes fall
+    back to the direct 7x7 conv.
+    """
+
+    cfg: Config
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = compute_dtype(self.cfg)
+        kernel = self.param(
+            "kernel", _KAIMING, (7, 7, x.shape[-1], self.features),
+            jnp.float32)
+        k = kernel.astype(dtype)
+        x = x.astype(dtype)
+        B, H, W, C = x.shape
+        if H % 2 or W % 2:
+            return jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # input re-layout: (B,H,W,C) -> (B,H/2,W/2,4C), (r,s,c) channel order
+        x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x2 = jnp.transpose(x2, (0, 1, 3, 2, 4, 5)).reshape(
+            B, H // 2, W // 2, 4 * C)
+        # kernel re-layout: zero-pad 7->8 at the leading edge, split taps
+        # (a,b) = (2p+r, 2q+s) into block position (p,q) x phase channel (r,s)
+        kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        kp = kp.reshape(4, 2, 4, 2, C, self.features)
+        k2 = jnp.transpose(kp, (0, 2, 1, 3, 4, 5)).reshape(
+            4, 4, 4 * C, self.features)
+        return jax.lax.conv_general_dilated(
+            x2, k2, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class BasicBlock(nn.Module):
     cfg: Config
     planes: int
@@ -150,8 +195,7 @@ class ResNetTrunk(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True, return_stages: bool = False):
         c = self.cfg
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=compute_dtype(c), kernel_init=_KAIMING, name="conv1")(x)
+        x = StemConv(c, name="conv1")(x)
         x = _norm(c, "bn1")(x, use_running_average=not train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -209,8 +253,7 @@ class PoseResNet(nn.Module):
         c = self.cfg
         depth = c.BACKBONE.BODY.split("-")[-1]
         block, layers = RESNET_SPEC[depth]
-        self.trunk_conv1 = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                                   dtype=compute_dtype(c), kernel_init=_KAIMING, name="conv1")
+        self.trunk_conv1 = StemConv(c, name="conv1")
         self.trunk_bn1 = _norm(c, "bn1")
         self.layer1 = ResNetStage(c, block, 64, layers[0], name="layer1")
         self.layer2 = ResNetStage(c, block, 128, layers[1], 2, name="layer2")
