@@ -194,12 +194,14 @@ class DataloaderConfig(_Node):
     PIN_MEMORY: bool = True
     BENCHMARK: bool = False
     # Worker start method (no reference analog; torch hardcodes fork on
-    # Linux).  'fork' inherits the dataset for free but forks a
-    # multi-threaded JAX parent — safe in practice (torch does the same)
-    # yet a lock held mid-operation by another parent thread CAN deadlock a
-    # child; 'forkserver'/'spawn' start clean children at the cost of
-    # pickling the dataset (all shipped datasets are picklable).
-    MP_START_METHOD: str = "fork"
+    # Linux).  'auto' (default) resolves to 'forkserver' when the parent
+    # process is multi-threaded — a JAX parent always is, and forking it
+    # can deadlock the child on a lock another parent thread held at fork
+    # time — and to 'fork' for single-threaded parents.  Explicit 'fork'
+    # (torch semantics: dataset inherited for free) is the opt-in for
+    # dataset-inheritance speed; 'forkserver'/'spawn' start clean children
+    # at the cost of pickling the dataset (all shipped datasets pickle).
+    MP_START_METHOD: str = "auto"
     # TPU-native extension (no reference analog): synthetic-rig train items
     # carry only joint coords + cameras and the trainer splats img/heatmap
     # on-device (ops/synthetic_render.py) — shrinks the per-step host->

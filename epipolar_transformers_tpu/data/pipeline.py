@@ -72,6 +72,38 @@ class _ProducerError:
         self.exc = exc
 
 
+# Worker-death poll cadence for _mp_iter's result wait: long enough that a
+# healthy-but-slow pipeline rarely wakes, short enough that a killed worker
+# is noticed promptly.  Module-level so tests can shrink it.
+_MP_POLL_TIMEOUT = 5.0
+
+
+def _resolve_start_method(method: str) -> str:
+    """Resolve the 'auto' worker start method.
+
+    fork from a multi-threaded parent can deadlock the child on a lock some
+    other parent thread held at fork time — and a JAX parent is ALWAYS
+    multi-threaded once a backend is initialized (CPython 3.12 emits a
+    DeprecationWarning for exactly this at os.fork).  forkserver children
+    are forked from a clean single-threaded server process, at the cost of
+    pickling the dataset once per worker.  'auto' therefore picks
+    forkserver whenever the calling process is multi-threaded and keeps
+    fork (free dataset inheritance) for single-threaded parents; explicit
+    values pass through untouched.
+
+    Thread detection counts OS threads (/proc/self/task on Linux), not
+    threading.active_count(): JAX/XLA/grpc spawn C-level threads the
+    threading module never sees, and those are precisely the ones whose
+    locks a forked child inherits."""
+    if method != "auto":
+        return method
+    try:
+        n_threads = len(os.listdir("/proc/self/task"))
+    except OSError:  # non-Linux: best effort via the threading registry
+        n_threads = threading.active_count()
+    return "forkserver" if n_threads > 1 else "fork"
+
+
 def _worker_loop(dataset, task_q, result_q):
     """Worker-process body: pull (seq, idx) tasks, push (seq, items, err).
 
@@ -142,7 +174,7 @@ class DataLoader:
         reuse_buffers: bool = False,
         ring_depth: Optional[int] = None,
         num_workers: int = 0,
-        mp_start_method: str = "fork",
+        mp_start_method: str = "auto",
     ):
         global _allocator_tuned
         if not _allocator_tuned:
@@ -179,10 +211,12 @@ class DataLoader:
         # + 1000^2 undistort per item); processes are the only way to scale
         # that on a many-core host.
         self.num_workers = num_workers
-        # 'fork' (default, torch semantics: dataset inherited for free) or
-        # 'forkserver'/'spawn' (clean single-threaded children — immune to
-        # fork-inherited lock deadlocks from a multi-threaded JAX parent;
-        # requires a picklable dataset).  See config.schema DATALOADER.
+        # 'auto' (default): 'forkserver' when the parent is multi-threaded
+        # (a JAX parent always is — forked children can inherit held locks
+        # and deadlock; CPython 3.12 warns on exactly this), else 'fork'.
+        # Explicit 'fork' (torch semantics: dataset inherited for free,
+        # opt-in) / 'forkserver' / 'spawn' pass through.  'forkserver' and
+        # 'spawn' require a picklable dataset.  See config.schema DATALOADER.
         self.mp_start_method = mp_start_method
         self.epoch = 0
 
@@ -271,10 +305,10 @@ class DataLoader:
         the consumer reorders results by seq, so the yielded batch stream is
         IDENTICAL to the single-producer path (same indices, same order) —
         only the item computation is parallel.  Start method per
-        self.mp_start_method (default 'fork': workers inherit the dataset
-        without pickling and never touch the device).
+        self.mp_start_method ('auto' resolves via _resolve_start_method —
+        forkserver under a multi-threaded parent, fork otherwise).
         """
-        ctx = mp.get_context(self.mp_start_method)
+        ctx = mp.get_context(_resolve_start_method(self.mp_start_method))
         task_q = ctx.Queue()
         result_q = ctx.Queue()
         workers = [
@@ -288,8 +322,10 @@ class DataLoader:
             p.start()
 
         batch_iter = enumerate(self._batch_indices())
-        state = {"dispatched": 0, "exhausted": False}
+        state = {"dispatched": 0, "exhausted": False, "death_epoch": 0}
         outstanding = {}  # seq -> idx array: dispatched, not yet received
+        dispatch_epoch = {}  # seq -> death_epoch at (re)dispatch time
+        redispatch_count = {}  # seq -> re-dispatches so far (cap: 1)
 
         def dispatch_one() -> None:
             if state["exhausted"]:
@@ -301,6 +337,7 @@ class DataLoader:
                 return
             idx = np.asarray(idx)
             outstanding[seq] = idx
+            dispatch_epoch[seq] = state["death_epoch"]
             task_q.put((seq, idx))
             state["dispatched"] += 1
 
@@ -310,21 +347,25 @@ class DataLoader:
                 dispatch_one()
             buffer = {}
             next_seq = 0
-            redispatched: set = set()
             known_dead: set = set()
             while not (state["exhausted"] and next_seq >= state["dispatched"]):
                 while next_seq not in buffer:
                     try:
-                        seq, items, err = result_q.get(timeout=5.0)
+                        seq, items, err = result_q.get(
+                            timeout=_MP_POLL_TIMEOUT)
                     except queue.Empty:
                         # A worker killed by the OS (OOM/signal) never ships
                         # its (seq, ...) result — that seq would otherwise
-                        # never arrive.  On observing a NEW death, re-dispatch
-                        # every outstanding task ONCE to the surviving
-                        # workers (duplicates are harmless: the reorder
-                        # buffer is keyed by seq).  A task whose re-dispatch
-                        # also dies is poison — raise.  Healthy-but-slow
-                        # pipelines (no deaths) never trip this.
+                        # never arrive.  Each observed death bumps a death
+                        # epoch; every task still outstanding from an EARLIER
+                        # epoch is re-dispatched ONCE to the surviving workers
+                        # (duplicates are harmless: the reorder buffer is
+                        # keyed by seq).  A task orphaned by a SECOND death
+                        # after its re-dispatch has exhausted its attempts —
+                        # raise (poison item) instead of spinning on the
+                        # timeout forever with known_dead suppressing further
+                        # death events.  Healthy-but-slow pipelines (no
+                        # deaths) never trip this.
                         dead = [p for p in workers if not p.is_alive()
                                 and p.exitcode not in (0, None)]
                         if dead and not any(p.is_alive() for p in workers):
@@ -336,23 +377,32 @@ class DataLoader:
                         new_dead = [p for p in dead if p.pid not in known_dead]
                         if new_dead:
                             known_dead.update(p.pid for p in new_dead)
-                            retry = [s for s in outstanding
-                                     if s not in redispatched]
-                            if not retry and outstanding:
-                                raise RuntimeError(
-                                    f"DataLoader worker {new_dead[0].name} "
-                                    f"(pid {new_dead[0].pid}) died with "
-                                    f"exitcode {new_dead[0].exitcode} on a "
-                                    f"re-dispatched task (batch seq "
-                                    f"{min(outstanding)}): poison item?"
+                            state["death_epoch"] += 1
+                            epoch = state["death_epoch"]
+                            for s in sorted(outstanding):
+                                if dispatch_epoch.get(s, epoch) >= epoch:
+                                    continue  # dispatched after this death
+                                if redispatch_count.get(s, 0) >= 1:
+                                    raise RuntimeError(
+                                        f"DataLoader worker "
+                                        f"{new_dead[0].name} (pid "
+                                        f"{new_dead[0].pid}) died with "
+                                        f"exitcode {new_dead[0].exitcode} "
+                                        f"and batch seq {s} has already "
+                                        f"been re-dispatched once: poison "
+                                        f"item?"
+                                    )
+                                redispatch_count[s] = (
+                                    redispatch_count.get(s, 0) + 1
                                 )
-                            for s in retry:
-                                redispatched.add(s)
+                                dispatch_epoch[s] = epoch
                                 task_q.put((s, outstanding[s]))
                         continue
                     if seq >= next_seq and seq not in buffer:
                         buffer[seq] = (items, err)
                     outstanding.pop(seq, None)
+                    dispatch_epoch.pop(seq, None)
+                    redispatch_count.pop(seq, None)
                 items, err = buffer.pop(next_seq)
                 if err is not None:
                     raise pickle.loads(err)

@@ -11,7 +11,11 @@ import time
 import numpy as np
 import pytest
 
-from epipolar_transformers_tpu.data.pipeline import DataLoader
+import epipolar_transformers_tpu.data.pipeline as pipeline_mod
+from epipolar_transformers_tpu.data.pipeline import (
+    DataLoader,
+    _resolve_start_method,
+)
 
 
 class ArangeDataset:
@@ -163,12 +167,27 @@ class KillSelfDataset(ArangeDataset):
         return super().__getitem__(i)
 
 
-def test_mp_killed_worker_raises_not_hangs():
+def test_mp_killed_worker_raises_not_hangs(monkeypatch):
     """A worker killed by the OS (no error shipped) must surface as a
     RuntimeError — re-dispatch hands the task to the next worker, which
     also dies (poison item), and the loader raises instead of stalling."""
+    monkeypatch.setattr(pipeline_mod, "_MP_POLL_TIMEOUT", 0.5)
     loader = DataLoader(KillSelfDataset(kill_at=6, n=32), batch_size=4,
                         num_workers=2)
+    with pytest.raises(RuntimeError, match="died|poison"):
+        _stream(loader)
+
+
+def test_mp_poison_item_raises_with_surviving_workers(monkeypatch):
+    """Poison item with >=3 workers: the first death re-dispatches the
+    poison seq, its re-dispatch kills a SECOND worker while other workers
+    are still alive and other tasks are still outstanding.  The per-seq
+    re-dispatch cap must raise here — the old retry-list logic only raised
+    when NO un-redispatched task remained, so this exact shape (death
+    epoch 2, non-empty retry set) spun on the poll timeout forever."""
+    monkeypatch.setattr(pipeline_mod, "_MP_POLL_TIMEOUT", 0.5)
+    loader = DataLoader(KillSelfDataset(kill_at=6, n=256), batch_size=4,
+                        num_workers=3)
     with pytest.raises(RuntimeError, match="died|poison"):
         _stream(loader)
 
@@ -181,6 +200,28 @@ def test_mp_forkserver_start_method():
                    num_workers=2, mp_start_method="forkserver")
     for x, y in zip(_stream(a), _stream(b)):
         np.testing.assert_array_equal(x["idx"], y["idx"])
+
+
+def test_resolve_start_method_auto():
+    """'auto' must pick forkserver when the parent is multi-threaded (the
+    JAX case — fork there risks inherited-lock deadlocks) and fork when
+    single-threaded; explicit methods pass through untouched."""
+    import threading
+
+    for explicit in ("fork", "forkserver", "spawn"):
+        assert _resolve_start_method(explicit) == explicit
+    stop = threading.Event()
+    t = threading.Thread(target=stop.wait, daemon=True)
+    t.start()
+    try:
+        assert _resolve_start_method("auto") == "forkserver"
+    finally:
+        stop.set()
+        t.join()
+    # single-threaded assertion only when this test process really has no
+    # other live threads (JAX/grpc helpers make this environment-dependent)
+    if threading.active_count() == 1:
+        assert _resolve_start_method("auto") == "fork"
 
 
 def test_io_bound_survives_wrapping():
