@@ -59,11 +59,28 @@ PEAK_FLOPS = 1.0e15
 # /frame on the v5e (2026-08-18: profile_model(_flagship_cfg(), 1) —
 # two R-50 trunk+deconv passes @256px + epipolar attention + decode).
 ANALYTIC_FLOPS_PER_FRAME = 30.3e9
-# Wide sanity band: 5x around the PERF.md measured history for this exact
-# benchmark (769-998 f/s across rounds 2-3).  A reading outside it is far
-# more likely a broken measurement than a real 5x regression/speedup, and
-# a silent wrong number in the grading record is worse than a loud error.
-PLAUSIBLE_BAND = (150.0, 5000.0)
+# Measured history for THIS benchmark: the (min, max) official driver
+# captures across rounds, per PERF.md's headline table (769.8 r02, 997.8
+# r02-probe, 847.2 r04).  This is the ONE constant the plausibility band
+# derives from.  UPDATE RULE: when a landed, PERF.md-recorded change
+# (optimization, recipe, quantization) legitimately moves the official
+# capture outside the current band, extend the violated endpoint to the
+# new PERF.md headline in the same commit that records it — never widen
+# the margins below, and never touch this constant for a number that is
+# not in PERF.md.  tests/test_bench_guard.py asserts the band covers the
+# current headline with jitter and admits a genuine 2x improvement.
+MEASURED_HISTORY_FPS = (769.0, 998.0)
+# Sanity margins around the history: a reading >5x below or >10x above
+# every capture ever recorded is far more likely a broken measurement
+# than a real change, and a silent wrong number in the grading record is
+# worse than a loud error.  The asymmetry is deliberate — the upper
+# margin leaves room for genuine step improvements (the physical-peak
+# gate above, ~34,000 f/s at the measured FLOPs, remains the hard
+# ceiling), while regressions past 5x have always meant methodology
+# breakage, not slow code.
+BAND_MARGIN = (5.0, 10.0)
+PLAUSIBLE_BAND = (MEASURED_HISTORY_FPS[0] / BAND_MARGIN[0],
+                  MEASURED_HISTORY_FPS[1] * BAND_MARGIN[1])
 
 
 class ImplausibleMeasurement(Exception):
@@ -93,9 +110,12 @@ def validate_fps(
     lo, hi = band
     if not (lo <= fps <= hi):
         raise ImplausibleMeasurement(
-            f"fps={fps:.1f} outside plausibility band [{lo}, {hi}] "
-            "(5x around the PERF.md measured history 769-998 f/s); "
-            "refusing to record — rerun / investigate the measurement"
+            f"fps={fps:.1f} outside plausibility band [{lo:.0f}, {hi:.0f}] "
+            f"({BAND_MARGIN[0]:.0f}x/{BAND_MARGIN[1]:.0f}x margins around "
+            f"the PERF.md measured history {MEASURED_HISTORY_FPS}); if this "
+            "is a REAL landed improvement, extend MEASURED_HISTORY_FPS in "
+            "the commit that records it in PERF.md (see the update rule at "
+            "its definition) — otherwise rerun / investigate the measurement"
         )
 
 
