@@ -251,7 +251,10 @@ def train(cfg: Config, max_steps: Optional[int] = None, mesh=None, eval_fn=None)
             t0 = time.time()
         if (epoch + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
             checkpointer.save(f"model_{epoch:03d}", state, epoch=epoch + 1)
-        if eval_fn is not None and (epoch + 1) % cfg.EVAL_FREQ == 0:
+        # EVAL_FREQ <= 0 disables periodic eval (the final test still runs
+        # from main's DOTEST dispatch); the reference would crash on 0 too
+        if (eval_fn is not None and cfg.EVAL_FREQ > 0
+                and (epoch + 1) % cfg.EVAL_FREQ == 0):
             eval_fn(cfg, state)
     if cfg.SOLVER.MAX_EPOCHS > start_epoch:
         checkpointer.save("model_final", state, epoch=cfg.SOLVER.MAX_EPOCHS)

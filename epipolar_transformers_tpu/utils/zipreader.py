@@ -11,7 +11,11 @@ import zipfile
 
 import numpy as np
 
-_cache: dict[str, zipfile.ZipFile] = {}
+# keyed by (pid, path): a fork()ed loader worker must NOT reuse the parent's
+# handle — the inherited file descriptor shares its seek offset with the
+# parent (and sibling workers), so concurrent reads interleave and zipfile
+# raises BadZipFile ("Overlapped entries"). Each process opens its own.
+_cache: dict[tuple[int, str], zipfile.ZipFile] = {}
 
 
 def split_zip_path(path: str):
@@ -25,9 +29,10 @@ def imread(path: str, flags=None) -> np.ndarray:
     import cv2
 
     zip_path, member = split_zip_path(path)
-    if zip_path not in _cache:
-        _cache[zip_path] = zipfile.ZipFile(zip_path, "r")
-    data = _cache[zip_path].read(member)
+    key = (os.getpid(), zip_path)
+    if key not in _cache:
+        _cache[key] = zipfile.ZipFile(zip_path, "r")
+    data = _cache[key].read(member)
     buf = np.frombuffer(data, dtype=np.uint8)
     if flags is None:
         flags = cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION
