@@ -155,7 +155,11 @@ class Epipolar(nn.Module):
             # index can't raise under jit, so neutrality is the loud-as-
             # possible option: zero prior = no additive bias, and
             # all-zero weights under SIMILARITY='prior')
-            lookup = np.full((max(cams) + 1, max(cams) + 1), -1, dtype=np.int32)
+            # size (max+2)^2: the extra -1 guard row/column absorbs ids
+            # > max(cams) — JAX out-of-bounds gathers clamp, and without the
+            # guard a too-large id would clamp onto a VALID slot of a
+            # different pair and silently train/read the wrong prior
+            lookup = np.full((max(cams) + 2, max(cams) + 2), -1, dtype=np.int32)
             for slot, (i, j) in enumerate(pairs):
                 lookup[i, j] = slot
             self.prior_pair_lookup = lookup

@@ -93,16 +93,39 @@ def epipolar_similarity_weights(
       * exact-zero similarities (out-of-image samples) are masked to -1e10;
       * additive prior before softmax unless PRIORMUL;
       * softmax(sim / sqrt(K)) or sim / K.
+
+    The ADDITIVE-prior softmax is computed as an explicitly masked softmax
+    over the valid (in-range) slots rather than literally softmaxing
+    NEG_INF + prior: at |NEG_INF| = 1e10 the f32 resolution is ~1024, so the
+    literal form both absorbs the prior (reference behavior: out-of-range
+    slots get exp-underflow zero weight; all-out-of-range rows go uniform)
+    AND is NaN-prone under XLA — fusion may compute the row max with
+    different rounding than the exp input (max(x*s) vs x*s), making every
+    exp underflow and 0/0 the normalizer (observed on degenerate rows with
+    |prior| > 1024).  The masked form reproduces the reference's effective
+    f32 semantics — in-range slots softmax((sim+p)*scale), out-of-range
+    exactly 0, degenerate rows uniform 1/K — and is stable for any prior
+    magnitude.
     """
-    sim = jnp.where(sim == 0.0, NEG_INF, sim)
+    masked = jnp.where(sim == 0.0, NEG_INF, sim)
     if prior is not None and not params.priormul:
-        sim = sim + prior
+        if params.softmax_enabled:
+            valid = sim != 0.0
+            z = (sim + prior) * params.softmax_scale
+            zmax = jnp.max(jnp.where(valid, z, -jnp.inf), axis=0, keepdims=True)
+            # min(., 0): harmless for valid slots (z <= zmax) and keeps the
+            # discarded invalid lanes finite (inf would trip jax_debug_infs)
+            e = jnp.where(valid, jnp.exp(jnp.minimum(z - zmax, 0.0)), 0.0)
+            s = jnp.sum(e, axis=0, keepdims=True)
+            return jnp.where(s > 0, e / jnp.where(s > 0, s, 1.0),
+                             1.0 / sim.shape[0])
+        return (masked + prior) / sim.shape[0]
     if params.softmax_enabled:
-        w = jax.nn.softmax(sim * params.softmax_scale, axis=0)
+        w = jax.nn.softmax(masked * params.softmax_scale, axis=0)
         if prior is not None and params.priormul:
             w = w * prior
     else:
-        w = sim / sim.shape[0]
+        w = masked / sim.shape[0]
     return w
 
 

@@ -216,6 +216,10 @@ def epipolar_attention_matmul(
             [sample_locs,
              jnp.full((pad_k, H, W, 2), -2.0, sample_locs.dtype)], axis=0)
         if prior is not None:
+            # zero pad is neutral on every path: the additive softmax below
+            # keys validity off sim == 0 (true for all padded slots), and
+            # the priormul / similarity='prior' paths multiply weights that
+            # are already zero on pads
             prior = jnp.concatenate(
                 [prior, jnp.zeros((pad_k, H, W), prior.dtype)], axis=0)
     K = K_real + pad_k
@@ -314,9 +318,24 @@ def epipolar_attention_matmul(
             sim = dot_sim()
             # reference epipolar_similarity (epipolar.py:287-321)
             masked = jnp.where(sim == 0.0, NEG_INF, sim)
-            if p is not None and not params.priormul:
-                masked = masked + p
-            if params.softmax_enabled:
+            if p is not None and not params.priormul and params.softmax_enabled:
+                # ADDITIVE prior: explicitly masked softmax over the valid
+                # (in-range, real) slots — softmaxing NEG_INF + p literally
+                # is NaN-prone under XLA fusion and absorbs the prior in
+                # f32 anyway; see epipolar_attention.py
+                # epipolar_similarity_weights for the full derivation.
+                # Padded slots have sim == 0, so `valid` excludes them and
+                # the degenerate-row uniform goes over the REAL slots only.
+                valid = sim != 0.0
+                z = (sim + p) * jnp.float32(params.softmax_scale)
+                zmax = jnp.max(jnp.where(valid, z, -jnp.inf), axis=-1,
+                               keepdims=True)
+                e = jnp.where(valid, jnp.exp(jnp.minimum(z - zmax, 0.0)), 0.0)
+                s = jnp.sum(e, axis=-1, keepdims=True)
+                uniform = jnp.where(jnp.arange(K) < K_real,
+                                    1.0 / K_real, 0.0)
+                w = jnp.where(s > 0, e / jnp.where(s > 0, s, 1.0), uniform)
+            elif params.softmax_enabled:
                 w = jax.nn.softmax(masked * jnp.float32(params.softmax_scale), axis=-1)
                 if pad_k:
                     # all-out-of-range queries: the unpadded softmax over K
@@ -329,6 +348,8 @@ def epipolar_attention_matmul(
                 if p is not None and params.priormul:
                     w = w * p
             else:
+                if p is not None and not params.priormul:
+                    masked = masked + p
                 # divide by the TRUE sample count (reference /K semantics)
                 w = masked / K_real
             depth_c = w

@@ -47,6 +47,17 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     per-process-different arrays (which JAX never cross-checks — each
     process would train on its own batch with no gradient sync).  Only 0-d
     scalars, identical everywhere by seed-determinism, replicate.
+
+    CONTRACT (multi-process): batch pytrees passed here must contain ONLY
+    batch-leading arrays and 0-d scalars.  Divisibility of the leading dim
+    is the sharding key, so a genuinely replicated rank>=1 leaf (e.g.
+    shared metadata whose leading dim happens to divide local_devices)
+    would be silently concatenated across processes into a wrong global
+    array.  The loaders uphold this (every rank>=1 leaf they emit is
+    per-item data, collated batch-leading); if a future batch needs a
+    replicated non-batch array, broadcast it to batch-leading per item or
+    pass it OUTSIDE the batch (e.g. as a jit-static or separately
+    device_put-replicated argument) instead of through shard_batch.
     """
     n = mesh.devices.size
     procs = jax.process_count()

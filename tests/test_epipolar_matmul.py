@@ -77,6 +77,35 @@ def test_matmul_prior_similarity(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_matmul_degenerate_row_with_prior(rng):
+    """A query whose samples are ALL out of range, with a prior present.
+
+    K=8 pads to 64 internally; on the degenerate row the real slots carry
+    NEG_INF + p_k while padded slots carry the prior pad — with a zero pad
+    the max-subtraction would cancel NEG_INF and give padded slots
+    exp(-scale * p_max) weight, corrupting the returned depth.  The NEG_INF
+    prior pad (additive path) / zero pad + uniform rescale (priormul) must
+    reproduce the unpadded oracle exactly on every row.
+
+    The prior magnitude must exceed f32 resolution at |NEG_INF| (~1e3 at
+    1e10) or NEG_INF + p_k rounds back to NEG_INF and the hazard is
+    invisible; learned additive logits are unbounded, so use a large one."""
+    f1, o1, o2, locs = _case(rng)
+    locs = locs.at[:, 0, 0, :].set(-2.0)  # query (0,0): all 8 samples out
+    locs = locs.at[:, 3, 2, :].set(2.0)   # and another, on the + side
+    prior = jnp.asarray(rng.rand(8, 6, 5).astype(np.float32) * 65536.0)
+    for priormul in (False, True):
+        params = AttentionParams(attention="avg", similarity="dot",
+                                 softmax_scale=1 / np.sqrt(8),
+                                 priormul=priormul)
+        ref = epipolar_attention(f1, o1, o2, locs, params, prior)
+        got = epipolar_attention_matmul(f1, o1, o2, locs, params, prior)
+        for name, r, g in zip(("out", "corr", "depth"), ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"priormul={priormul} {name}")
+
+
 def test_matmul_all_out_of_range(rng):
     """Lines missing the rectangle: sim == 0 sentinel -> masked softmax ->
     uniform weights over zero values -> exact-zero output (reference

@@ -154,6 +154,34 @@ def test_prior_self_pair_reads_neutral_zero(camera_ring):
     assert np.abs(np.asarray(out_valid)).max() > 0
 
 
+def test_prior_out_of_range_id_reads_neutral_zero(camera_ring):
+    """A camera id greater than max(DATASETS.CAMERAS) clamps into the lookup
+    (JAX out-of-bounds gather semantics); the (max+2)-sized guard row/column
+    makes it land on a -1 slot -> neutral zero, never a VALID slot of a
+    different pair."""
+    cfg = _cfg(PRIOR=True, SIMILARITY="prior", PARAMETERIZED=())
+    cfg = update_from_dict(cfg, {"DATASETS": {"CAMERAS": (0, 1, 2, 3)}})
+    model = Epipolar(cfg)
+    feat1, feat2, P1, P2 = _inputs(camera_ring)
+    cam = jnp.asarray([0, 1])
+    variables = model.init(
+        jax.random.PRNGKey(5), feat1, feat2, P1, P2,
+        camera=cam, other_camera=jnp.asarray([1, 2]), train=False,
+    )
+    for bad_other in (jnp.asarray([4, 9]), jnp.asarray([100, 5])):
+        out_bad, *_ = model.apply(
+            variables, feat1, feat2, P1, P2,
+            camera=cam, other_camera=bad_other, train=False,
+        )
+        np.testing.assert_allclose(np.asarray(out_bad), 0.0, atol=1e-7)
+    # and a too-large reference id likewise
+    out_bad, *_ = model.apply(
+        variables, feat1, feat2, P1, P2,
+        camera=jnp.asarray([4, 4]), other_camera=jnp.asarray([0, 1]), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out_bad), 0.0, atol=1e-7)
+
+
 def test_prior_requires_cameras(camera_ring):
     cfg = _cfg(PRIOR=True, SIMILARITY="prior", PARAMETERIZED=())
     model = Epipolar(cfg)
