@@ -102,6 +102,13 @@ class EpipolarConfig(_Node):
     # models/epipolar.py Epipolar.impl.  'auto' picks the fastest valid
     # path for the config's semantics; forcing one is a debug/bench tool.
     ATTENTION_IMPL: str = "auto"
+    # training-time rematerialization of the matmul attention chunks
+    # (framework-native knob, no reference counterpart): full | dots | none.
+    # 'full' recomputes the whole chunk in the backward (lowest memory);
+    # 'dots' saves the einsum outputs and recomputes only the elementwise
+    # middle (jax dots_saveable policy); 'none' saves everything.  Measured
+    # on the v5e flagship shape in PERF.md (bench_bwd_stages.py).
+    ATTENTION_REMAT: str = "full"
     SAMPLESIZE: int = 64
     SOFTMAX_ENABLED: bool = True
     SOFTMAXBETA: bool = True

@@ -279,16 +279,24 @@ class Epipolar(nn.Module):
             # 869.0 vs 869.8 f/s on the flagship bench), but an eval-mode
             # forward embedded in someone else's grad shouldn't pay
             # chunk-recompute in its backward
+            try:
+                remat = {"full": True, "dots": "dots", "none": False}[
+                    e.ATTENTION_REMAT]
+            except KeyError:
+                raise ValueError(
+                    f"EPIPOLAR.ATTENTION_REMAT={e.ATTENTION_REMAT!r}: "
+                    "expected 'full' | 'dots' | 'none'") from None
+            remat = remat if train else False
             if prior is None:
                 out, corr_pos, depth = jax.vmap(
                     lambda q, o1, o2, s: epipolar_attention_matmul(
-                        q, o1, o2, s, params, remat=train
+                        q, o1, o2, s, params, remat=remat
                     )
                 )(query, other1, other2, sample_locs)
             else:
                 out, corr_pos, depth = jax.vmap(
                     lambda q, o1, o2, s, p: epipolar_attention_matmul(
-                        q, o1, o2, s, params, p, remat=train
+                        q, o1, o2, s, params, p, remat=remat
                     )
                 )(query, other1, other2, sample_locs, prior)
         elif supports_pooled_attention(params) and (

@@ -371,7 +371,17 @@ def epipolar_attention_matmul(
         best_c = jnp.argmax(w[:, :K_real], axis=-1).astype(jnp.int32)
         return out_c, depth_c, best_c
 
-    body = jax.checkpoint(chunk) if remat else chunk
+    # remat: False -> save everything; True/'full' -> recompute the whole
+    # chunk in the backward; 'dots' -> save the matmul (einsum) outputs and
+    # recompute only the cheap elementwise middle (jax dots_saveable policy)
+    # — trades HBM for skipping the Gram/profile recompute in the VJP.
+    if remat == "dots":
+        body = jax.checkpoint(
+            chunk, policy=jax.checkpoint_policies.dots_saveable)
+    elif remat:
+        body = jax.checkpoint(chunk)
+    else:
+        body = chunk
     out, depth, best = jax.lax.map(body, xs)
     out = out.reshape(H, W, -1).astype(other2.dtype)
     depth = depth.reshape(HW, K).T[:K_real].reshape(K_real, H, W)
