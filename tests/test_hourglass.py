@@ -90,6 +90,7 @@ def test_meta_layer(camera_ring):
     assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-6
 
 
+@pytest.mark.slow  # ~60s over 3 params (r5 suite re-budget)
 @pytest.mark.parametrize("merge", ["late", "early", "both"])
 def test_finetune_stops_gradient_at_fusion(camera_ring, merge):
     """SOLVER.FINETUNE detaches the fused feature per merge mode (reference

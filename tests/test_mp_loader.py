@@ -6,6 +6,7 @@ Dataset classes live at module level so 'fork' children resolve them.
 """
 
 import multiprocessing as mp
+import os
 import time
 
 import numpy as np
@@ -105,8 +106,13 @@ def test_mp_worker_exception_propagates():
 
 
 def test_mp_unpicklable_exception_degrades_to_runtimeerror():
+    # pinned to fork: the subject under test is an unpicklable exception
+    # RAISED IN a worker (relayed as a RuntimeError); under 'auto' in an
+    # already-threaded suite process the loader resolves to forkserver,
+    # where the unpicklable DATASET fails to even ship to the worker — a
+    # different (also loud) failure mode that isn't this test's subject
     ds = FailAtDataset(fail_at=2, exc=_Unpicklable(), n=8)
-    loader = DataLoader(ds, batch_size=4, num_workers=1)
+    loader = DataLoader(ds, batch_size=4, num_workers=1, mp_start_method="fork")
     with pytest.raises(RuntimeError, match="worker item failed"):
         _stream(loader)
 
@@ -219,8 +225,15 @@ def test_resolve_start_method_auto():
         stop.set()
         t.join()
     # single-threaded assertion only when this test process really has no
-    # other live threads (JAX/grpc helpers make this environment-dependent)
-    if threading.active_count() == 1:
+    # other live OS threads — measured the way the implementation measures
+    # it (/proc/self/task): threading.active_count() misses the C-level
+    # XLA/grpc threads earlier tests leave behind, which are exactly the
+    # ones 'auto' must react to
+    try:
+        n_os_threads = len(os.listdir("/proc/self/task"))
+    except OSError:
+        n_os_threads = threading.active_count()
+    if n_os_threads == 1:
         assert _resolve_start_method("auto") == "fork"
 
 

@@ -42,6 +42,7 @@ def _group_inputs(camera_ring, rng, n_views=3, batch=2):
     return img, other_imgs, KRT, other_KRTs
 
 
+@pytest.mark.slow  # 42s: heaviest default test (r5 suite re-budget)
 def test_multitest_eval(camera_ring, rng):
     """MULTITEST loops candidate views and keeps per-joint max-conf locs."""
     cfg = _mv_cfg(MULTITEST=True)
