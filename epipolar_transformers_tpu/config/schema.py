@@ -50,6 +50,11 @@ class BackboneConfig(_Node):
     DOWNSAMPLE: int = 4
     BN_MOMENTUM: float = 0.1
     SYNC_BN: bool = False
+    # Mapped-axis name for explicit BN moment sync ('' = GSPMD-implicit under
+    # jit, the trainer's mode). Required when training under shard_map/pmap:
+    # GuardedBatchNorm (models/layers.py) raises if batch statistics would be
+    # computed per-shard under a named axis without it.
+    BN_AXIS_NAME: str = ""
 
 
 @dataclass(frozen=True)

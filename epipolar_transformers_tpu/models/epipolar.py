@@ -123,10 +123,12 @@ class Epipolar(nn.Module):
             assert not e.ZRESIDUAL
         if "z" in e.PARAMETERIZED:
             self.z = nn.Conv(nfeats, (1, 1), use_bias=True, dtype=compute_dtype(c), name="z")
-            # axis_name=None: BN sync is implicit under jit+GSPMD (see
-            # models/resnet.py:_norm)
+            # BN sync is implicit under jit+GSPMD (see models/resnet.py:_norm);
+            # BN_AXIS_NAME opts into explicit pmean sync under shard_map/pmap.
             self.bn = ZeroInitBatchNorm(
-                momentum=1.0 - c.BACKBONE.BN_MOMENTUM, axis_name=None, name="bn",
+                momentum=1.0 - c.BACKBONE.BN_MOMENTUM,
+                axis_name=c.BACKBONE.BN_AXIS_NAME or None,
+                name="bn",
             )
         if "theta" in e.PARAMETERIZED:
             self.theta = nn.Conv(bottleneck, (1, 1), use_bias=True, dtype=compute_dtype(c), name="theta")

@@ -19,6 +19,61 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _mapped_axis_names() -> tuple:
+    """Named mapped axes (shard_map/pmap) bound at the current trace, if any.
+
+    Best-effort: uses jax.core's axis-env introspection (private surface —
+    degrade to 'no axes' if it moves) to let BN detect that it is being traced
+    inside an explicitly mapped context where an unsynced batch reduction
+    would be per-shard."""
+    try:
+        from jax import core
+
+        if core.nonempty_axis_env_DO_NOT_USE():
+            return tuple(core.unsafe_get_axis_names_DO_NOT_USE())
+    except Exception:
+        pass
+    return ()
+
+
+class GuardedBatchNorm(nn.BatchNorm):
+    """`nn.BatchNorm` that refuses to compute UNSYNCED batch statistics under
+    a named mapped axis.
+
+    The framework's BN sync contract (tests/test_syncbn_equivalence.py) is
+    GSPMD-implicit: under `jit` with the batch sharded over the mesh, moment
+    reductions are global automatically and `axis_name=None` is correct.  But
+    inside an explicit `shard_map`/`pmap` body each shard traces its OWN batch
+    reduction — `axis_name=None` there silently reproduces the per-replica-BN
+    bug the reference's vendored SyncBN exists to prevent (reference
+    modeling/sync_batchnorm/batchnorm.py:53-148).  This subclass turns that
+    silent wrong answer into a trace-time error; set
+    `BACKBONE.BN_AXIS_NAME` to the mapped axis name to opt into explicit
+    `lax.pmean` syncing instead.  Param/stat tree is identical to
+    `nn.BatchNorm`."""
+
+    def __call__(self, x, use_running_average: Optional[bool] = None, **kwargs):
+        ura = (
+            use_running_average
+            if use_running_average is not None
+            else self.use_running_average
+        )
+        if not ura and self.axis_name is None:
+            axes = _mapped_axis_names()
+            if axes:
+                raise ValueError(
+                    "BatchNorm is training (computing batch statistics) inside "
+                    f"an explicitly mapped context (named axes {axes}) with "
+                    "axis_name=None: each shard would normalize with per-shard "
+                    "moments, silently diverging from the global-batch BN the "
+                    "jit+GSPMD trainer provides. Set BACKBONE.BN_AXIS_NAME to "
+                    "the mapped batch axis (e.g. 'data') to sync moments with "
+                    "lax.pmean, or run the step under plain jit with a sharded "
+                    "batch (engine/trainer.py)."
+                )
+        return super().__call__(x, use_running_average=use_running_average, **kwargs)
+
+
 def compute_dtype(cfg):
     """Backbone compute dtype: bfloat16 rides the v5e MXU natively; params
     and BN statistics stay float32 (flax param_dtype default)."""
@@ -34,7 +89,7 @@ class ZeroInitBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = False) -> jnp.ndarray:
-        return nn.BatchNorm(
+        return GuardedBatchNorm(
             use_running_average=use_running_average,
             momentum=self.momentum,
             epsilon=self.epsilon,
@@ -55,7 +110,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = False) -> jnp.ndarray:
-        return nn.BatchNorm(
+        return GuardedBatchNorm(
             use_running_average=use_running_average,
             momentum=self.momentum,
             epsilon=self.epsilon,

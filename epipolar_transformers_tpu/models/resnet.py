@@ -25,7 +25,7 @@ from flax import linen as nn
 from ..config import Config
 from ..ops.soft_argmax import find_tensor_peak_batch
 from .epipolar import Epipolar
-from .layers import compute_dtype
+from .layers import GuardedBatchNorm, compute_dtype
 
 # block type ('basic'|'bottleneck') and per-stage block counts
 RESNET_SPEC = {
@@ -59,12 +59,14 @@ def _norm(cfg: Config, name: str):
     # SYNC_BN note: under jit+GSPMD the batch axis is globally sharded, so
     # BN's batch reductions are already cross-replica (XLA inserts the
     # all-reduce) — the reference's vendored SyncBN machinery is implicit
-    # here and axis_name is only needed for explicit shard_map/pmap training.
-    return nn.BatchNorm(
+    # here.  Explicit shard_map/pmap training must set BACKBONE.BN_AXIS_NAME
+    # to the mapped batch axis; GuardedBatchNorm raises at trace time if
+    # training unsynced under a named axis (tests/test_bn_guard.py).
+    return GuardedBatchNorm(
         use_running_average=None,  # via flax 'train' kwarg at call sites
         momentum=1.0 - momentum,
         epsilon=1e-5,
-        axis_name=None,
+        axis_name=cfg.BACKBONE.BN_AXIS_NAME or None,
         name=name,
     )
 
