@@ -108,11 +108,15 @@ class EpipolarConfig(_Node):
     # path for the config's semantics; forcing one is a debug/bench tool.
     ATTENTION_IMPL: str = "auto"
     # training-time rematerialization of the matmul attention chunks
-    # (framework-native knob, no reference counterpart): full | dots | none.
+    # (framework-native knob, no reference counterpart):
+    # full | dots | dots_bf16 | none.
     # 'full' recomputes the whole chunk in the backward (lowest memory);
     # 'dots' saves the einsum outputs and recomputes only the elementwise
-    # middle (jax dots_saveable policy); 'none' saves everything.  Measured
-    # on the v5e flagship shape in PERF.md (bench_bwd_stages.py).
+    # middle (jax dots_saveable policy); 'dots_bf16' is 'dots' with the
+    # big saved residuals bf16-rounded (halves the remat HBM traffic;
+    # perturbs training activations by bf16 rounding ~0.4%); 'none' saves
+    # everything.  Measured on the v5e flagship shape in PERF.md
+    # (bench_bwd_stages.py).
     ATTENTION_REMAT: str = "full"
     SAMPLESIZE: int = 64
     SOFTMAX_ENABLED: bool = True

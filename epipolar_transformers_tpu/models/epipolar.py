@@ -282,12 +282,14 @@ class Epipolar(nn.Module):
             # forward embedded in someone else's grad shouldn't pay
             # chunk-recompute in its backward
             try:
-                remat = {"full": True, "dots": "dots", "none": False}[
+                remat = {"full": True, "dots": "dots",
+                         "dots_bf16": "dots_bf16", "none": False}[
                     e.ATTENTION_REMAT]
             except KeyError:
                 raise ValueError(
                     f"EPIPOLAR.ATTENTION_REMAT={e.ATTENTION_REMAT!r}: "
-                    "expected 'full' | 'dots' | 'none'") from None
+                    "expected 'full' | 'dots' | 'dots_bf16' | 'none'"
+                ) from None
             remat = remat if train else False
             if prior is None:
                 out, corr_pos, depth = jax.vmap(

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..geometry.camera import denormalize_pixel
 from .epipolar_attention import COS_EPS, NEG_INF, AttentionParams
@@ -268,23 +269,43 @@ def epipolar_attention_matmul(
     need_cos = params.attention == "max" or params.similarity == "cos"
     dot_maps = _self_dot_maps(other1) if need_cos else None
 
+    # 'dots_bf16': like 'dots' (save the einsum outputs, recompute the
+    # elementwise middle) but the saved residuals are bf16-rounded — the
+    # three (Q,H,W)/(Q,K,H)/(Q,HW) f32 stacks are ~3 GB at the flagship
+    # shape, all pure HBM traffic, and the forward proceeds from the
+    # rounded values so fwd and recomputed-bwd see identical numerics.
+    # Opt-in (EPIPOLAR.ATTENTION_REMAT) because it perturbs training
+    # activations by bf16 rounding (~0.4% relative).
+    if remat == "dots_bf16":
+        def _save(v):
+            return checkpoint_name(
+                v.astype(jnp.bfloat16), "attn_dot").astype(v.dtype)
+
+        def _name(v):
+            return checkpoint_name(v, "attn_dot")
+    else:
+        _save = _name = lambda v: v
+
     def chunk(c):
         xprof = _profiles(c["xb"], c["wx0"], c["wx1"], W, prof_dtype)  # (Q, K, W)
         yprof = _profiles(c["yb"], c["wy0"], c["wy1"], H, prof_dtype)  # (Q, K, H)
         p = c.get("prior")
 
         def dot_sim():
-            G = jnp.einsum(
+            G = _save(jnp.einsum(
                 "qc,pc->qp", c["f1"], f2k, preferred_element_type=jnp.float32
-            ).reshape(Q, H, W)
-            T = jnp.einsum(
+            ).reshape(Q, H, W))
+            T = _save(jnp.einsum(
                 "qyx,qkx->qky", G.astype(prof_dtype), xprof,
                 preferred_element_type=jnp.float32,
-            )
-            sim = jnp.einsum(
+            ))
+            # sim stays exact f32: the out-of-range sentinel is `sim == 0.0`
+            # (zero profiles x anything = 0 survives rounding of G/T, but
+            # rounding sim itself is pointless — it's (Q, K), tiny)
+            sim = _name(jnp.einsum(
                 "qky,qky->qk", T.astype(prof_dtype), yprof,
                 preferred_element_type=jnp.float32,
-            )
+            ))
             if need_cos:
                 # cosine = dot / (||f1|| * ||bilinear(f2)||), both norms
                 # clamped like torch F.cosine_similarity (oracle COS_EPS);
@@ -360,10 +381,12 @@ def epipolar_attention_matmul(
             preferred_element_type=jnp.float32,
         ).reshape(Q, HW)
         if fuse_bf16 or fast_bf16:
-            n_mat = n_mat.astype(jnp.bfloat16)
-        out_c = jnp.einsum(
+            n_mat = _name(n_mat.astype(jnp.bfloat16))
+        else:
+            n_mat = _save(n_mat)
+        out_c = _name(jnp.einsum(
             "qp,pc->qc", n_mat, f2v, preferred_element_type=jnp.float32
-        )
+        ))
         # oracle: best = argmax of the final weights (avg) / cosine sim (max);
         # for max the one-hot w shares its argmax with sim.  Real slots
         # only: a padded slot's weight (0, or the raw prior 0) could
@@ -378,6 +401,10 @@ def epipolar_attention_matmul(
     if remat == "dots":
         body = jax.checkpoint(
             chunk, policy=jax.checkpoint_policies.dots_saveable)
+    elif remat == "dots_bf16":
+        body = jax.checkpoint(
+            chunk,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_dot"))
     elif remat:
         body = jax.checkpoint(chunk)
     else:

@@ -143,7 +143,8 @@ def main():
     params = AttentionParams(attention="avg", similarity="dot",
                              softmax_scale=1.0 / np.sqrt(K))
 
-    for mode, tag in ((True, "full"), ("dots", "dots"), (False, "none")):
+    for mode, tag in ((True, "full"), ("dots", "dots"),
+                      ("dots_bf16", "dots_bf16"), (False, "none")):
         def attn(f1_, f2_):
             out, _, _ = epipolar_attention_matmul_batch(
                 f1_, f2_, f2_, locs, params, remat=mode)
@@ -160,7 +161,7 @@ def main():
             results[f"attn_{tag}_vjp_ms"] = f"error: {type(e).__name__}"
 
     # ------------------------------ 4. full step under each remat mode
-    for mode in ("dots", "none"):
+    for mode in ("dots", "dots_bf16", "none"):
         mcfg = update_from_dict(cfg, {"EPIPOLAR": {"ATTENTION_REMAT": mode}})
         try:
             mstate = create_train_state(mcfg, jax.random.PRNGKey(0), inputs)

@@ -188,3 +188,49 @@ def test_matmul_gradients_match(rng, kw):
     for a, b in zip(g_ref, g_mat):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3,
                                    atol=1e-4)
+
+
+def test_dots_bf16_remat(rng):
+    """ATTENTION_REMAT='dots_bf16' saves the big einsum residuals bf16.
+
+    With bf16 inputs (the recipe compute mode) the forward is BIT-IDENTICAL
+    to 'dots': downstream consumers already cast G/T to bf16, so the
+    checkpoint_name casts are no-ops on the primal.  With f32 inputs the
+    forward is perturbed only by bf16 rounding of the residuals.  Gradients
+    stay close to the unrounded path in both modes."""
+    f1, o1, o2, locs = _case(rng)
+    params = AttentionParams(softmax_scale=1 / np.sqrt(8), attention="avg",
+                             similarity="dot")
+
+    def loss(remat, a, b, c):
+        out, _, _ = epipolar_attention_matmul(a, b, c, locs, params,
+                                              remat=remat)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    # bf16 compute mode: primal exactly equal to 'dots'
+    fb = tuple(x.astype(jnp.bfloat16) for x in (f1, o1, o2))
+    v_dots = jax.jit(lambda *a: loss("dots", *a))(*fb)
+    v_bf16 = jax.jit(lambda *a: loss("dots_bf16", *a))(*fb)
+    assert np.asarray(v_dots) == np.asarray(v_bf16)
+    g_dots = jax.jit(jax.grad(lambda *a: loss("dots", *a),
+                              argnums=(0, 1, 2)))(*fb)
+    g_bf16 = jax.jit(jax.grad(lambda *a: loss("dots_bf16", *a),
+                              argnums=(0, 1, 2)))(*fb)
+    for a, b in zip(g_dots, g_bf16):
+        np.testing.assert_allclose(np.asarray(b).astype(np.float32),
+                                   np.asarray(a).astype(np.float32),
+                                   rtol=2e-2, atol=1e-3)
+
+    # f32 inputs: rounding of the saved residuals perturbs, but only at
+    # bf16 precision
+    v32_dots = jax.jit(lambda *a: loss("dots", *a))(f1, o1, o2)
+    v32_bf16 = jax.jit(lambda *a: loss("dots_bf16", *a))(f1, o1, o2)
+    np.testing.assert_allclose(np.asarray(v32_bf16), np.asarray(v32_dots),
+                               rtol=2e-2)
+    g32_dots = jax.jit(jax.grad(lambda *a: loss("dots", *a),
+                                argnums=(0, 1, 2)))(f1, o1, o2)
+    g32_bf16 = jax.jit(jax.grad(lambda *a: loss("dots_bf16", *a),
+                                argnums=(0, 1, 2)))(f1, o1, o2)
+    for a, b in zip(g32_dots, g32_bf16):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-2,
+                                   atol=2e-3)
